@@ -1,0 +1,359 @@
+"""ADM UNet (guided-diffusion architecture) as an NHWC Flax model.
+
+Feature-for-feature rebuild of the reference UNetModel
+(guided_diffusion/unet.py:475-742) with the osmosis channel surgery baked in
+(4-in / 8-out RGBD head, osmosis_utils/utils.py:265-288):
+
+  * sinusoidal t-embedding → 2-layer MLP (unet.py:549-554)
+  * ResBlocks with scale-shift (FiLM) GroupNorm (unet.py:327-331), optional
+    in-block up/downsampling (resblock_updown, unet.py:267-276)
+  * attention at configured downsample rates with num_head_channels head
+    sizing (unet.py:580-589), legacy QKV head layout (unet.py:416-433)
+  * zero-initialized out-projections everywhere (nn.py:68-74)
+  * fp32 GroupNorm islands + fp32 softmax, bf16-able torso (nn.py:17-19)
+
+TPU design: NHWC layout (XLA-native conv layout), one static architecture
+plan shared with the torch→flax checkpoint converter, optional jax remat on
+blocks (replaces the reference's CheckpointFunction, nn.py:124-170), and a
+Pallas fused-attention path for the 1024/256/64-token maps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from . import nn as onn
+from ..config import parse_attention_resolutions, parse_channel_mult
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    image_size: int = 256
+    in_channels: int = 4
+    model_channels: int = 256
+    out_channels: int = 8
+    num_res_blocks: int = 2
+    attention_resolutions: Tuple[int, ...] = (8, 16, 32)
+    dropout: float = 0.0  # inference-only pipeline: accepted, never applied
+    channel_mult: Tuple[int, ...] = (1, 1, 2, 2, 4, 4)
+    conv_resample: bool = True
+    num_heads: int = 4
+    num_head_channels: int = 64
+    num_heads_upsample: int = -1
+    use_scale_shift_norm: bool = True
+    resblock_updown: bool = True
+    use_new_attention_order: bool = False
+    dtype: Any = jnp.float32
+    remat: bool = False
+    use_pallas_attention: bool = False
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.model_channels * 4
+
+    def heads_for(self, ch: int, upsample: bool = False) -> int:
+        if self.num_head_channels != -1:
+            assert ch % self.num_head_channels == 0
+            return ch // self.num_head_channels
+        if upsample and self.num_heads_upsample != -1:
+            return self.num_heads_upsample
+        return self.num_heads
+
+
+def unet_config_from_yaml(unet_model: Dict[str, Any], **overrides) -> UNetConfig:
+    """Reference `unet_model` config dict → UNetConfig.
+
+    Applies create_model's channel-mult/attention parsing (unet.py:47-68) and
+    the osmosis channel surgery (unet.py:91-92): pretrain_model == 'osmosis'
+    forces 4-in/8-out regardless of learn_sigma's 3/6 default (unet.py:74).
+    """
+    image_size = unet_model["image_size"]
+    learn_sigma = unet_model.get("learn_sigma", False)
+    if unet_model.get("pretrain_model", "") == "osmosis":
+        in_ch, out_ch = 4, 8
+    else:
+        in_ch, out_ch = 3, (6 if learn_sigma else 3)
+    cfg = dict(
+        image_size=image_size,
+        in_channels=in_ch,
+        out_channels=out_ch,
+        model_channels=unet_model.get("num_channels", 256),
+        num_res_blocks=unet_model.get("num_res_blocks", 2),
+        attention_resolutions=parse_attention_resolutions(
+            unet_model.get("attention_resolutions", "16"), image_size
+        ),
+        dropout=unet_model.get("dropout", 0.0),
+        channel_mult=parse_channel_mult(unet_model.get("channel_mult", ""), image_size),
+        num_heads=unet_model.get("num_heads", 1),
+        num_head_channels=unet_model.get("num_head_channels", -1),
+        num_heads_upsample=unet_model.get("num_heads_upsample", -1),
+        use_scale_shift_norm=unet_model.get("use_scale_shift_norm", False),
+        resblock_updown=unet_model.get("resblock_updown", False),
+        use_new_attention_order=unet_model.get("use_new_attention_order", False),
+    )
+    cfg.update(overrides)
+    return UNetConfig(**cfg)
+
+
+# ---------------------------------------------------------------------------
+# Architecture plan — shared by the Flax module and the checkpoint converter
+# ---------------------------------------------------------------------------
+
+def build_plan(cfg: UNetConfig):
+    """Replay of UNetModel.__init__'s block construction (unet.py:556-695).
+
+    Returns (input_blocks, middle_block, output_blocks); each block is a list
+    of layer descriptors. Descriptor kinds: conv_in, res, attn, res_down,
+    down, res_up, up. The (block, layer) indices match the torch module tree
+    (input_blocks.{i}.{j} etc.) one-for-one, which the converter relies on.
+    """
+    chm = cfg.channel_mult
+    ch = int(chm[0] * cfg.model_channels)
+    input_blocks: List[List[dict]] = [[dict(kind="conv_in", out_ch=ch)]]
+    input_chans = [ch]
+    ds = 1
+    for level, mult in enumerate(chm):
+        for _ in range(cfg.num_res_blocks):
+            out_ch = int(mult * cfg.model_channels)
+            layers = [dict(kind="res", in_ch=ch, out_ch=out_ch)]
+            ch = out_ch
+            if ds in cfg.attention_resolutions:
+                layers.append(dict(kind="attn", ch=ch, heads=cfg.heads_for(ch)))
+            input_blocks.append(layers)
+            input_chans.append(ch)
+        if level != len(chm) - 1:
+            if cfg.resblock_updown:
+                input_blocks.append([dict(kind="res_down", in_ch=ch, out_ch=ch)])
+            else:
+                input_blocks.append([dict(kind="down", ch=ch)])
+            input_chans.append(ch)
+            ds *= 2
+
+    middle_block = [
+        dict(kind="res", in_ch=ch, out_ch=ch),
+        dict(kind="attn", ch=ch, heads=cfg.heads_for(ch)),
+        dict(kind="res", in_ch=ch, out_ch=ch),
+    ]
+
+    output_blocks: List[List[dict]] = []
+    for level, mult in list(enumerate(chm))[::-1]:
+        for i in range(cfg.num_res_blocks + 1):
+            ich = input_chans.pop()
+            out_ch = int(cfg.model_channels * mult)
+            layers = [dict(kind="res", in_ch=ch + ich, out_ch=out_ch)]
+            ch = out_ch
+            if ds in cfg.attention_resolutions:
+                layers.append(
+                    dict(kind="attn", ch=ch, heads=cfg.heads_for(ch, upsample=True))
+                )
+            if level and i == cfg.num_res_blocks:
+                if cfg.resblock_updown:
+                    layers.append(dict(kind="res_up", in_ch=ch, out_ch=ch))
+                else:
+                    layers.append(dict(kind="up", ch=ch))
+                ds //= 2
+            output_blocks.append(layers)
+
+    return input_blocks, middle_block, output_blocks
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+class ResBlock(nn.Module):
+    """ResBlock with FiLM scale-shift norm and in-block resampling
+    (unet.py:222-335)."""
+
+    out_channels: int
+    use_scale_shift_norm: bool = True
+    up: bool = False
+    down: bool = False
+    use_conv_skip: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, emb: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        h = onn.GroupNorm32(name="in_norm")(x)
+        h = onn.silu(h)
+        if self.up:
+            h = onn.upsample_nearest_2x(h)
+            x = onn.upsample_nearest_2x(x)
+        elif self.down:
+            h = onn.avg_pool_2x(h)
+            x = onn.avg_pool_2x(x)
+        h = onn.conv3x3(self.out_channels, "in_conv", dtype=self.dtype)(h)
+
+        emb_width = 2 * self.out_channels if self.use_scale_shift_norm else self.out_channels
+        emb_out = onn.dense(emb_width, "emb_proj", dtype=self.dtype)(onn.silu(emb))
+        emb_out = emb_out[:, None, None, :].astype(h.dtype)
+
+        if self.use_scale_shift_norm:
+            scale = emb_out[..., : self.out_channels]
+            shift = emb_out[..., self.out_channels:]
+            h = onn.GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+            h = onn.silu(h)
+        else:
+            h = h + emb_out
+            h = onn.GroupNorm32(name="out_norm")(h)
+            h = onn.silu(h)
+        h = onn.conv3x3(self.out_channels, "out_conv", zero_init=True, dtype=self.dtype)(h)
+
+        if self.out_channels == in_ch:
+            skip = x
+        elif self.use_conv_skip:
+            skip = onn.conv3x3(self.out_channels, "skip", dtype=self.dtype)(x)
+        else:
+            skip = onn.conv1x1(self.out_channels, "skip", dtype=self.dtype)(x)
+        return skip + h
+
+
+class AttentionBlock(nn.Module):
+    """Spatial self-attention over flattened HW tokens (unet.py:338-433).
+
+    q/k are each scaled by 1/sqrt(sqrt(head_dim)) before the logits matmul and
+    the softmax runs in fp32 (unet.py:427-431). Internal layout is part-major
+    [B, T, 3, heads, hc]; the converter permutes torch's legacy head-major
+    interleave into this layout.
+    """
+
+    num_heads: int
+    dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, hh, ww, c = x.shape
+        t = hh * ww
+        hc = c // self.num_heads
+        xt = x.reshape(b, t, c)
+        nrm = onn.GroupNorm32(name="norm")(xt)
+        qkv = onn.dense(3 * c, "qkv", dtype=self.dtype)(nrm)
+        qkv = qkv.reshape(b, t, 3, self.num_heads, hc)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, T, H, hc]
+
+        if self.use_pallas:
+            from ..ops.attention import fused_attention
+
+            a = fused_attention(q, k, v)
+        else:
+            scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(hc, jnp.float32))).astype(q.dtype)
+            logits = jnp.einsum(
+                "bthc,bshc->bhts", q * scale, k * scale,
+                preferred_element_type=jnp.float32,
+            )
+            weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+            a = jnp.einsum("bhts,bshc->bthc", weights, v)
+
+        a = a.reshape(b, t, c)
+        proj = onn.dense(c, "proj", zero_init=True, dtype=self.dtype)(a)
+        return x + proj.reshape(b, hh, ww, c)
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv (or avg-pool) downsampling (unet.py:192-219)."""
+
+    out_channels: int
+    use_conv: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.use_conv:
+            return nn.Conv(
+                self.out_channels, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                dtype=self.dtype, param_dtype=jnp.float32, name="op",
+            )(x)
+        return onn.avg_pool_2x(x)
+
+
+class Upsample(nn.Module):
+    """Nearest 2x + optional conv (unet.py:160-189)."""
+
+    out_channels: int
+    use_conv: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = onn.upsample_nearest_2x(x)
+        if self.use_conv:
+            x = onn.conv3x3(self.out_channels, "conv", dtype=self.dtype)(x)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+class UNetModel(nn.Module):
+    """The full UNet; forward mirrors unet.py:713-742 (NHWC)."""
+
+    cfg: UNetConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, timesteps: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        input_blocks, middle_block, output_blocks = build_plan(cfg)
+
+        res_cls, attn_cls = ResBlock, AttentionBlock
+        if cfg.remat:
+            res_cls = nn.remat(ResBlock)
+            attn_cls = nn.remat(AttentionBlock)
+
+        def apply_layer(h, emb, lay, name):
+            if lay["kind"] == "conv_in":
+                return onn.conv3x3(lay["out_ch"], name, dtype=cfg.dtype)(h)
+            if lay["kind"] in ("res", "res_down", "res_up"):
+                return res_cls(
+                    out_channels=lay["out_ch"],
+                    use_scale_shift_norm=cfg.use_scale_shift_norm,
+                    up=lay["kind"] == "res_up",
+                    down=lay["kind"] == "res_down",
+                    dtype=cfg.dtype,
+                    name=name,
+                )(h, emb)
+            if lay["kind"] == "attn":
+                return attn_cls(
+                    num_heads=lay["heads"], dtype=cfg.dtype,
+                    use_pallas=cfg.use_pallas_attention, name=name,
+                )(h)
+            if lay["kind"] == "down":
+                return Downsample(
+                    lay["ch"], use_conv=cfg.conv_resample, dtype=cfg.dtype, name=name
+                )(h)
+            if lay["kind"] == "up":
+                return Upsample(
+                    lay["ch"], use_conv=cfg.conv_resample, dtype=cfg.dtype, name=name
+                )(h)
+            raise ValueError(lay["kind"])
+
+        # timestep embedding MLP (unet.py:549-554,727)
+        emb = onn.timestep_embedding(timesteps, cfg.model_channels)
+        emb = onn.dense(cfg.time_embed_dim, "time_dense0", dtype=cfg.dtype)(emb)
+        emb = onn.silu(emb)
+        emb = onn.dense(cfg.time_embed_dim, "time_dense1", dtype=cfg.dtype)(emb)
+
+        h = x.astype(cfg.dtype)
+        hs = []
+        for i, block in enumerate(input_blocks):
+            for j, lay in enumerate(block):
+                h = apply_layer(h, emb, lay, f"in_{i}_{j}")
+            hs.append(h)
+        for j, lay in enumerate(middle_block):
+            h = apply_layer(h, emb, lay, f"mid_{j}")
+        for i, block in enumerate(output_blocks):
+            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            for j, lay in enumerate(block):
+                h = apply_layer(h, emb, lay, f"out_{i}_{j}")
+
+        h = h.astype(jnp.float32)  # unet.py:741 h.type(x.dtype)
+        h = onn.GroupNorm32(name="out_norm")(h)
+        h = onn.silu(h)
+        return onn.conv3x3(cfg.out_channels, "out_conv", zero_init=True)(h)

@@ -15,8 +15,19 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The axon sitecustomize pins JAX_PLATFORMS=axon at interpreter start; the
+# config update wins regardless of registration order.
+jax.config.update("jax_platforms", "cpu")
+# Schedule/attention parity tests need true fp32 matmuls, not bf16 MXU passes.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu"
+assert jax.device_count() == 8, "expected a virtual 8-device CPU mesh"
 
 
 @pytest.fixture(scope="session")
