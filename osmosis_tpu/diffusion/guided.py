@@ -1,0 +1,351 @@
+"""Guided (DPS / osmosis) sampling: the WHOLE guided step in one XLA program.
+
+The reference threads torch autograd through a Python loop
+(gaussian_diffusion.py:179-340 + condition_methods.py:109-231): per timestep
+1 UNet forward, an n_iter inner loop of phi-only backwards through the
+closed-form physics operator, one joint backward through the UNet wrt
+(x_prev, phi), a phi optimizer step, a clipped guidance update, then noise.
+
+TPU-native design: the step compiles into a single ``lax.scan`` body —
+``jax.vjp`` captures the UNet pullback once, the inner phi loop is a
+``fori_loop`` of tiny fused physics gradients against a stop-gradient x0-hat
+(the reference's graph-reuse trick, condition_methods.py:193-194), the pcgs
+freeze/alternate/guidance windows are precomputed branch-free mask arrays
+(osmosis_tpu.guidance.schedule_masks), and telemetry (per-step loss, phi
+trajectories) rides out as scan outputs instead of host syncs.
+
+Both conditioning methods are provided:
+  * 'osmosis' — PosteriorSamplingOsmosis (condition_methods.py:61-231):
+    posterior-mean update, guidance BEFORE noise injection
+    (gaussian_diffusion.py:237-268)
+  * 'ps' — vanilla DPS (condition_methods.py:234-251): p_sample (noise
+    first), then guidance (gaussian_diffusion.py:232-233,299-306)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import parse_gradient_clip, parse_scale, parse_weight_function
+from ..guidance.losses import make_aux_loss_fn
+from ..guidance.operators import Operator, convert_depth
+from ..guidance.phi_optim import make_phi_optimizer
+from ..guidance.schedule_masks import pattern_masks
+from .sampler import (
+    ModelFn,
+    SamplerConfig,
+    ddim_step,
+    ddpm_noise_step,
+    make_slot_map,
+    model_log_variance,
+    p_mean_variance,
+    posterior_mean,
+    predict_xstart,
+    process_xstart,
+    record_steps_for,
+    record_update,
+    split_model_output,
+)
+from .schedules import DiffusionSchedule
+
+
+@dataclasses.dataclass(frozen=True)
+class GuidanceConfig:
+    """conditioning.params + sample_pattern surface
+    (condition_methods.py:63-107, configs/*.yaml)."""
+
+    method: str = "osmosis"  # 'osmosis' | 'ps'
+    scale: Tuple[float, ...] = (1.0,)
+    gradient_x_prev: bool = True
+    gradient_clip: bool = False
+    gradient_clip_value: float = 0.0
+    loss_function: str = "norm"  # 'norm' | 'mse'
+    loss_weight: Optional[str] = None  # 'depth' | 'none'
+    weight_function: Optional[str] = None  # e.g. "gamma,1.4,1.4,1"
+    n_iter: int = 1
+    aux_loss: Tuple[Tuple[str, float], ...] = ()
+
+    @classmethod
+    def from_config(cls, method: str, params: dict, sample_pattern: dict,
+                    aux_loss_cfg: Optional[dict]) -> "GuidanceConfig":
+        clip_on, clip_val = parse_gradient_clip(params.get("gradient_clip", "False"))
+        aux = ()
+        if aux_loss_cfg:
+            inner = aux_loss_cfg.get("aux_loss") if "aux_loss" in aux_loss_cfg else aux_loss_cfg
+            if inner:
+                aux = tuple((k, float(v)) for k, v in inner.items())
+        return cls(
+            method=method,
+            scale=tuple(float(s) for s in parse_scale(params.get("scale", 1.0))),
+            gradient_x_prev=bool(params.get("gradient_x_prev", False)),
+            gradient_clip=clip_on,
+            gradient_clip_value=clip_val,
+            loss_function=params.get("loss_function", "norm"),
+            loss_weight=params.get("loss_weight"),
+            weight_function=params.get("weight_function"),
+            n_iter=int((sample_pattern or {}).get("n_iter", 1)),
+            aux_loss=aux,
+        )
+
+
+@dataclasses.dataclass
+class GuidedResult:
+    sample: jax.Array          # final x (post-noise chain output)
+    pred_xstart: jax.Array     # x0-hat at the final step — what gets saved
+    phi: Dict[str, jax.Array]  # final water parameters
+    sep_loss: jax.Array        # [T, B] per-image guidance loss trace
+    phi_trace: Dict[str, jax.Array]  # [T, B, C]
+    aux_trace: Dict[str, jax.Array]  # [T]
+    snapshots: Optional[dict] = None
+
+
+def _make_weight_fn(gcfg: GuidanceConfig):
+    """set_loss_weight (utils.py:674-700): depth-derived weights on the
+    guidance difference, always from a stop-gradient x0-hat."""
+    if gcfg.loss_weight in (None, "none"):
+        return lambda x0: 1.0
+    if gcfg.loss_weight == "depth":
+        fn_str, value = parse_weight_function(gcfg.weight_function)
+
+        def weight(x0):
+            depth = jax.lax.stop_gradient(x0[..., 3:4])
+            return convert_depth(depth, fn_str, value)
+
+        return weight
+    raise NotImplementedError(gcfg.loss_weight)
+
+
+def _tree_select(pred, on_true, on_false):
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(pred, a, b), on_true, on_false
+    )
+
+
+def guided_sample_loop(
+    model_fn: ModelFn,
+    schedule: DiffusionSchedule,
+    x_init: jax.Array,
+    measurement: jax.Array,
+    key: jax.Array,
+    operator: Operator,
+    gcfg: GuidanceConfig,
+    scfg: SamplerConfig = SamplerConfig(),
+    sample_pattern: Optional[dict] = None,
+    record_every: Optional[int] = None,
+    deterministic: bool = False,
+) -> GuidedResult:
+    """Run the full guided reverse process. All arrays NHWC.
+
+    ``deterministic=True`` zeroes every injected noise draw — a debugging /
+    exact-parity mode (the chain then follows posterior means only).
+    """
+    T = schedule.num_timesteps
+    B = x_init.shape[0]
+    consts = {k: jnp.asarray(v) for k, v in schedule.device_constants().items()}
+    masks_np = pattern_masks(sample_pattern, T)
+    masks = {k: jnp.asarray(v) for k, v in masks_np.items()}
+    # static fast-paths: skip compiling dead branches when the pattern
+    # guides every step / never alternates (true for all shipped configs)
+    always_guided = bool(masks_np["guidance"].all())
+    never_alternates = bool((masks_np["alternate_len"] == 1).all())
+
+    aux_fn = make_aux_loss_fn(dict(gcfg.aux_loss))
+    aux_names = [k for k, _ in gcfg.aux_loss]
+    weight_fn = _make_weight_fn(gcfg)
+    scale = np.asarray(gcfg.scale, dtype=np.float32)
+    if scale.shape[0] == 1:
+        scale_bc = jnp.asarray(scale[0])
+    else:
+        scale_bc = jnp.asarray(scale).reshape(1, 1, 1, -1)
+
+    phi0 = {k: jnp.asarray(v) for k, v in operator.phi_init().items()}
+    opt = make_phi_optimizer(operator.optimizer, operator.etas())
+    opt_state0 = opt.init(phi0)
+    y = measurement
+
+    # ---- loss on x0-hat (condition_methods.py:109-144) -------------------
+    def loss_terms(x0, phi):
+        degraded01 = operator.forward(phi, x0)
+        degraded = 2.0 * degraded01 - 1.0
+        diff = (y - degraded) * weight_fn(x0)
+        if gcfg.loss_function == "norm":
+            loss = jnp.sqrt(jnp.sum(diff.astype(jnp.float32) ** 2))
+            sep = jnp.sqrt(jnp.sum(diff.astype(jnp.float32) ** 2, axis=(1, 2, 3)))
+        elif gcfg.loss_function == "mse":
+            mse = jnp.mean(diff.astype(jnp.float32) ** 2, axis=(1, 2, 3))
+            loss, sep = jnp.sum(mse), mse
+        else:
+            raise NotImplementedError(gcfg.loss_function)
+        if aux_fn is not None:
+            aux_total, aux_per = aux_fn(x0)
+            total = loss + aux_total
+        else:
+            aux_per = {}
+            total = loss
+        aux_vec = {k: aux_per[k] for k in aux_names}
+        return total, (sep, aux_vec)
+
+    zero_aux = {k: jnp.zeros(()) for k in aux_names}
+
+    # ---- one guided osmosis update (condition_methods.py:146-231) --------
+    def osmosis_guided(x, phi, opt_state, t, tb):
+        def x0_and_v(xp):
+            mo = model_fn(xp, consts["model_timesteps"][tb])
+            eps, v = split_model_output(mo, xp.shape[-1])
+            x0 = process_xstart(predict_xstart(xp, tb, eps, consts, scfg), scfg)
+            return x0, v
+
+        if gcfg.gradient_x_prev:
+            (x0, v), vjp_fn = jax.vjp(x0_and_v, x)
+        else:
+            x0, v = x0_and_v(x)
+            vjp_fn = None
+        logvar = model_log_variance(v, tb, consts, scfg)
+        mean = posterior_mean(x0, x, tb, consts)
+
+        freeze = masks["freeze_phi"][t]
+        x0_c = jax.lax.stop_gradient(x0)
+
+        # inner phi-only iterations (n_iter-1 of them; 0 when frozen) —
+        # physics-only gradients, UNet untouched (condition_methods.py:193-194)
+        def phi_body(_, carry):
+            phi_, st_ = carry
+            g = jax.grad(lambda p: loss_terms(x0_c, p)[0])(phi_)
+            return opt.update(phi_, g, st_)
+
+        n_inner = jnp.where(freeze, 0, gcfg.n_iter - 1)
+        phi, opt_state = jax.lax.fori_loop(0, n_inner, phi_body, (phi, opt_state))
+
+        # joint gradient wrt (x0-hat, phi) with the UNet pullback applied once
+        (_, (sep, aux_vec)), (g_x0, g_phi) = jax.value_and_grad(
+            loss_terms, argnums=(0, 1), has_aux=True
+        )(x0, phi)
+
+        phi_new, st_new = opt.update(phi, g_phi, opt_state)
+        phi = _tree_select(freeze, phi, phi_new)
+        opt_state = _tree_select(freeze, opt_state, st_new)
+
+        if gcfg.gradient_x_prev:
+            g_x = vjp_fn((g_x0, jnp.zeros_like(v)))[0]
+            if gcfg.gradient_clip:
+                g_used = jnp.clip(
+                    g_x, -gcfg.gradient_clip_value, gcfg.gradient_clip_value
+                )
+            else:
+                g_used = g_x
+        else:
+            # gradient wrt x0-hat; never clipped (condition_methods.py:227-229)
+            g_used = g_x0
+        x_t = mean - scale_bc * g_used
+        return x_t, logvar, x0, phi, opt_state, sep, aux_vec
+
+    def plain_update(x, phi, opt_state, t, tb):
+        out = p_mean_variance(model_fn, x, tb, consts, scfg)
+        return (
+            out["mean"], out["log_variance"], out["pred_xstart"],
+            phi, opt_state, jnp.zeros((B,)), zero_aux,
+        )
+
+    # ---- 'ps' (vanilla DPS rgb_guidance) step -----------------------------
+    def ps_step(x, phi, opt_state, t, tb, k):
+        def x0_and_v(xp):
+            mo = model_fn(xp, consts["model_timesteps"][tb])
+            eps, v = split_model_output(mo, xp.shape[-1])
+            x0 = process_xstart(predict_xstart(xp, tb, eps, consts, scfg), scfg)
+            return x0, v
+
+        (x0, v), vjp_fn = jax.vjp(x0_and_v, x)
+        logvar = model_log_variance(v, tb, consts, scfg)
+        mean = posterior_mean(x0, x, tb, consts)
+        out = {"mean": mean, "log_variance": logvar, "pred_xstart": x0}
+        # noise FIRST (p_sample, gaussian_diffusion.py:232-233,494-502)
+        if deterministic:
+            sample = mean
+        elif scfg.sampler == "ddim":
+            sample = ddim_step(x, out, tb, k, consts, scfg.ddim_eta)
+        else:
+            sample = ddpm_noise_step(out, tb, k)
+
+        # ‖y − A(x0[...,:3])‖ with identity A (condition_methods.py:35-41)
+        def loss_fn(x0_):
+            diff = y - operator.forward({}, x0_[..., 0:3])
+            return jnp.sqrt(jnp.sum(diff.astype(jnp.float32) ** 2))
+
+        loss, g_x0 = jax.value_and_grad(loss_fn)(x0)
+        g_x = vjp_fn((g_x0, jnp.zeros_like(v)))[0]
+        x_t = sample - scale_bc * g_x
+        return x_t, x0, phi, opt_state, jnp.full((B,), loss), zero_aux
+
+    # ---- recording buffers -------------------------------------------------
+    if record_every is not None:
+        rec_steps = record_steps_for(T, record_every, extra=(T - 1, 999))
+        slot_map = jnp.asarray(make_slot_map(T, rec_steps))
+        buf_x0 = jnp.zeros((len(rec_steps),) + x_init.shape, x_init.dtype)
+    else:
+        rec_steps, slot_map, buf_x0 = (), None, None
+
+    # ---- scan body ---------------------------------------------------------
+    def step(carry, t):
+        x, phi, opt_state, x0_last, b_x0 = carry
+        tb = jnp.full((B,), t, dtype=jnp.int32)
+
+        def one_iteration(i, c):
+            x_, phi_, st_, _, _, _ = c
+            k = jax.random.fold_in(jax.random.fold_in(key, t), i)
+            if gcfg.method == "ps":
+                x_t, x0, phi2, st2, sep, aux_vec = ps_step(x_, phi_, st_, t, tb, k)
+                return (x_t, phi2, st2, x0, sep, aux_vec)
+            if always_guided:
+                upd = osmosis_guided(x_, phi_, st_, t, tb)
+            else:
+                upd = jax.lax.cond(
+                    masks["guidance"][t],
+                    lambda op: osmosis_guided(*op, t, tb),
+                    lambda op: plain_update(*op, t, tb),
+                    (x_, phi_, st_),
+                )
+            x_t, logvar, x0, phi2, st2, sep, aux_vec = upd
+            # noise AFTER guidance (gaussian_diffusion.py:266-268)
+            if deterministic:
+                x_next = x_t
+            else:
+                z = jax.random.normal(k, x_t.shape, x_t.dtype)
+                nonzero = (t > 0).astype(x_t.dtype)
+                x_next = x_t + nonzero * jnp.exp(0.5 * logvar) * z
+            return (x_next, phi2, st2, x0, sep, aux_vec)
+
+        init = (x, phi, opt_state, x0_last, jnp.zeros((B,)), zero_aux)
+        if never_alternates:
+            x, phi, opt_state, x0, sep, aux_vec = one_iteration(0, init)
+        else:
+            x, phi, opt_state, x0, sep, aux_vec = jax.lax.fori_loop(
+                0, masks["alternate_len"][t], one_iteration, init
+            )
+
+        if slot_map is not None:
+            b_x0 = record_update(b_x0, x0, slot_map[t])
+
+        ys = {"sep_loss": sep, "phi": phi, "aux": aux_vec}
+        return (x, phi, opt_state, x0, b_x0), ys
+
+    ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+    carry0 = (x_init, phi0, opt_state0, jnp.zeros_like(x_init), buf_x0)
+    (x, phi, _, x0_final, buf_x0), ys = jax.lax.scan(step, carry0, ts)
+
+    snapshots = None
+    if record_every is not None:
+        snapshots = {"steps": rec_steps, "x0_hat": buf_x0}
+    return GuidedResult(
+        sample=x,
+        pred_xstart=x0_final,
+        phi=phi,
+        sep_loss=ys["sep_loss"],
+        phi_trace=ys["phi"],
+        aux_trace=ys["aux"],
+        snapshots=snapshots,
+    )

@@ -1,0 +1,164 @@
+"""Guidance-stack unit parity: operators, depth conversion, aux losses,
+noise models, pcgs schedule masks — each checked against the reference
+implementation (measurements.py, losses.py, utils.py:529-630)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from osmosis_tpu.guidance import operators as OPS
+from osmosis_tpu.guidance import losses as L
+from osmosis_tpu.guidance import noise as N
+from osmosis_tpu.guidance.schedule_masks import pattern_masks
+from tests.ref_utils import import_reference
+
+
+def _rand_rgbd(key=0, b=2, hw=8):
+    rng = np.random.default_rng(key)
+    return rng.uniform(-1, 1, (b, hw, hw, 4)).astype(np.float32)
+
+
+def test_convert_depth_parity():
+    import_reference()
+    import torch
+    import osmosis_utils.utils as utilso
+
+    rng = np.random.default_rng(0)
+    d = rng.uniform(-1, 1, (1, 1, 8, 8)).astype(np.float32)
+    for depth_type, value in [
+        ("gamma", np.array([1.4, 1.4, 1.0])),
+        ("original", np.array([1.4, 1.4, 1.0])),  # value unused but required
+        ("move", 0.5),
+    ]:
+        ref = utilso.convert_depth(
+            torch.from_numpy(d), depth_type=depth_type, value=value
+        ).numpy()
+        ours = np.asarray(
+            OPS.convert_depth(jnp.asarray(d.transpose(0, 2, 3, 1)), depth_type, value)
+        ).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "name,kwargs",
+    [
+        (
+            "underwater_physical_revised",
+            dict(phi_a="1.1,0.95,0.95", phi_b="0.95, 0.8, 0.8", phi_inf="0.14, 0.29, 0.49",
+                 depth_type="gamma", value="1.4,1.4,1"),
+        ),
+        (
+            "underwater_physical",
+            dict(phi_ab="1.1,0.95,0.95", phi_inf="0.2,0.4,0.7",
+                 depth_type="original", value="1.4,1.4,1"),
+        ),
+        (
+            "haze_physical",
+            dict(phi_ab=1.0, phi_inf="0.14, 0.29, 0.49",
+                 depth_type="gamma", value="1.4,1.4,1"),
+        ),
+    ],
+)
+def test_operator_forward_parity(name, kwargs):
+    import_reference()
+    import torch
+    from guided_diffusion.measurements import get_operator as ref_get_operator
+
+    data = _rand_rgbd(1)
+    ref_op = ref_get_operator(
+        name=name, device=torch.device("cpu"), optimizer="sgd", batch_size=2, **kwargs
+    )
+    ref_out = ref_op.forward(torch.from_numpy(data.transpose(0, 3, 1, 2)))
+
+    op = OPS.get_operator(name, batch_size=2, optimizer="sgd", **kwargs)
+    phi = {k: jnp.asarray(v) for k, v in op.phi_init().items()}
+    ours = np.asarray(op.forward(phi, jnp.asarray(data))).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ours, ref_out.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_operator_etas_and_learn_flags():
+    op = OPS.get_operator(
+        "underwater_physical_revised", phi_a="1,1,1", phi_b="1,1,1", phi_inf="0,0,0",
+        phi_a_eta=1e-5, phi_b_eta="2e-5", phi_b_learn_flag=True,
+        phi_inf_learn_flag=False, phi_inf_eta=1e-5,
+        depth_type="original", value="1.4,1.4,1",
+    )
+    etas = op.etas()
+    assert etas["phi_a"] == 1e-5
+    assert etas["phi_b"] == 2e-5
+    assert etas["phi_inf"] == 0.0  # learn flag off zeroes the step size
+
+
+def test_identity_operators():
+    for name in ("noise", "rgb_guidance"):
+        op = OPS.get_operator(name)
+        x = jnp.ones((1, 4, 4, 3))
+        np.testing.assert_array_equal(np.asarray(op.forward({}, x)), np.asarray(x))
+        assert op.phi_init() == {}
+
+
+def test_aux_losses_parity():
+    import_reference()
+    import torch
+    import osmosis_utils.losses as losseso
+
+    x = _rand_rgbd(3)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    ref_aux = losseso.AuxiliaryLoss({"avrg_loss": 0.5, "val_loss": 20.0})
+    ref_total, ref_dict = ref_aux.forward(xt)
+
+    aux_fn = L.make_aux_loss_fn({"avrg_loss": 0.5, "val_loss": 20.0})
+    total, per = aux_fn(jnp.asarray(x))
+    np.testing.assert_allclose(float(total), ref_total.item(), rtol=1e-5)
+    np.testing.assert_allclose(float(per["avrg_loss"]), ref_dict["avrg_loss"].item(), rtol=1e-5)
+    np.testing.assert_allclose(float(per["val_loss"]), ref_dict["val_loss"].item(), rtol=1e-5)
+    assert L.make_aux_loss_fn(None) is None
+    assert L.make_aux_loss_fn({}) is None
+
+
+def test_noise_models():
+    x = jnp.asarray(_rand_rgbd(4)[..., :3])
+    clean = N.get_noiser("clean")
+    np.testing.assert_array_equal(np.asarray(clean(x)), np.asarray(x))
+    g0 = N.get_noiser("gaussian", sigma=0)
+    np.testing.assert_array_equal(np.asarray(g0(x)), np.asarray(x))
+    g = N.get_noiser("gaussian", sigma=0.1)
+    y = np.asarray(g(x, key=jax.random.key(0)))
+    assert 0.05 < np.std(y - np.asarray(x)) < 0.2
+    p = N.get_noiser("poisson", rate=1.0)
+    yp = np.asarray(p(x, key=jax.random.key(1)))
+    assert yp.min() >= -1.0 and yp.max() <= 1.0
+
+
+PCGS = dict(
+    pattern="pcgs", update_start=0.7, update_end=0, global_N=1, local_M=1,
+    s_start=1, s_end=0, n_iter=20, start_guidance=1, stop_guidance=0,
+)
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        PCGS,
+        {**PCGS, "local_M": 3, "update_start": 0.7, "s_start": 0.6, "s_end": 0.1},
+        {**PCGS, "start_guidance": 0.8, "stop_guidance": 0.1},
+        dict(pattern="original"),
+    ],
+)
+def test_pattern_masks_truth_table(pattern):
+    import_reference()
+    import osmosis_utils.utils as utilso
+
+    T = 100
+    masks = pattern_masks(pattern, T)
+    for t in range(T):
+        assert masks["freeze_phi"][t] == utilso.is_freeze_phi(pattern, t, T), t
+        if pattern.get("pattern") != "original":
+            assert masks["alternate_len"][t] == utilso.set_alternate_length(pattern, t, T), t
+        guidance_ref = (
+            pattern.get("pattern") in (None, "original")
+            or pattern["start_guidance"] * T >= t >= pattern["stop_guidance"] * T
+        )
+        assert masks["guidance"][t] == guidance_ref, t

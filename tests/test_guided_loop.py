@@ -1,0 +1,210 @@
+"""End-to-end guided-loop parity vs the reference p_sample_loop.
+
+Noise is zeroed on both sides (torch.randn_like patched / deterministic=True)
+so the chains are exactly comparable: same fake denoiser, same physics
+operator, same pcgs pattern, same phi optimization (inner n_iter loop + joint
+backward + SGD step + clipped guidance update). This pins down the entire
+condition_methods.py:61-231 + gaussian_diffusion.py:179-340 semantics.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from osmosis_tpu.diffusion import make_schedule
+from osmosis_tpu.diffusion.guided import GuidanceConfig, guided_sample_loop
+from osmosis_tpu.diffusion.sampler import SamplerConfig
+from osmosis_tpu.guidance.operators import get_operator
+from tests.ref_utils import import_reference
+
+T_STEPS = 50
+HW = 8
+
+PATTERN = dict(
+    pattern="pcgs", update_start=0.7, update_end=0, global_N=1, local_M=1,
+    s_start=1, s_end=0, n_iter=3, start_guidance=1, stop_guidance=0,
+)
+
+COND_PARAMS = dict(
+    loss_function="norm",
+    loss_weight="depth",
+    weight_function="gamma,1.4,1.4,1",
+    scale="7,7,7,0.9",
+    gradient_x_prev=True,
+    gradient_clip="True,0.005",
+)
+
+OP_KW = dict(
+    optimizer="sgd",
+    depth_type="gamma",
+    value="1.4,1.4,1",
+    phi_a="1.1,0.95,0.95", phi_a_eta=1e-4, phi_a_learn_flag=True,
+    phi_b="0.95, 0.8, 0.8", phi_b_eta=1e-4, phi_b_learn_flag=True,
+    phi_inf="0.14, 0.29, 0.49", phi_inf_eta=1e-4, phi_inf_learn_flag=True,
+)
+
+
+def _fake_model_torch(x, t):
+    import torch
+
+    tb = t.float().reshape(-1, 1, 1, 1)
+    return torch.cat([0.3 * x + 0.001 * tb, 0.1 * x], dim=1)
+
+
+def _fake_model_jax(x, t):
+    tb = t.astype(jnp.float32).reshape(-1, 1, 1, 1)
+    return jnp.concatenate([0.3 * x + 0.001 * tb, 0.1 * x], axis=-1)
+
+
+@pytest.fixture()
+def no_torch_noise(monkeypatch):
+    import torch
+
+    monkeypatch.setattr(torch, "randn_like", lambda x, **k: torch.zeros_like(x))
+
+
+def _run_reference_osmosis(x0, y):
+    import torch
+    from guided_diffusion.gaussian_diffusion import create_sampler
+    from guided_diffusion.measurements import get_noise, get_operator as ref_get_op
+    from guided_diffusion.condition_methods import get_conditioning_method
+
+    sampler = create_sampler(
+        sampler="ddpm", steps=T_STEPS, noise_schedule="linear",
+        model_mean_type="epsilon", model_var_type="learned_range",
+        dynamic_threshold=False, clip_denoised=True, rescale_timesteps=False,
+        timestep_respacing="",
+    )
+    operator = ref_get_op(
+        name="underwater_physical_revised", device=torch.device("cpu"),
+        batch_size=1, **OP_KW,
+    )
+    noiser = get_noise(name="clean")
+    cond = get_conditioning_method(
+        "osmosis", operator, noiser, **COND_PARAMS, **PATTERN,
+        aux_loss={"avrg_loss": 0.5, "val_loss": 20.0},
+    )
+    x_start = torch.from_numpy(x0.transpose(0, 3, 1, 2)).clone().requires_grad_()
+    img, variable_dict, loss, pred_xstart = sampler.p_sample_loop(
+        model=_fake_model_torch, x_start=x_start,
+        measurement=torch.from_numpy(y.transpose(0, 3, 1, 2)),
+        measurement_cond_fn=cond.conditioning,
+        record=False, save_root=None, pretrain_model="osmosis",
+        rgb_guidance=False, sample_pattern=PATTERN,
+    )
+    return (
+        img.detach().numpy(), pred_xstart.numpy(),
+        {k: v.numpy() for k, v in variable_dict.items()}, np.asarray(loss),
+    )
+
+
+def test_osmosis_guided_loop_parity(no_torch_noise):
+    import_reference()
+    rng = np.random.default_rng(0)
+    x0 = rng.standard_normal((1, HW, HW, 4)).astype(np.float32)
+    y = rng.uniform(-1, 1, (1, HW, HW, 3)).astype(np.float32)
+
+    ref_img, ref_x0hat, ref_phi, ref_loss = _run_reference_osmosis(x0, y)
+
+    sch = make_schedule("linear", T_STEPS)
+    op = get_operator("underwater_physical_revised", batch_size=1, **OP_KW)
+    gcfg = GuidanceConfig.from_config(
+        "osmosis", COND_PARAMS, PATTERN,
+        {"aux_loss": {"avrg_loss": 0.5, "val_loss": 20.0}},
+    )
+    res = guided_sample_loop(
+        _fake_model_jax, sch, jnp.asarray(x0), jnp.asarray(y),
+        jax.random.key(0), op, gcfg, SamplerConfig(clip_denoised=True),
+        sample_pattern=PATTERN, deterministic=True,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(res.pred_xstart).transpose(0, 3, 1, 2), ref_x0hat,
+        rtol=1e-3, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.sample).transpose(0, 3, 1, 2), ref_img,
+        rtol=1e-3, atol=2e-4,
+    )
+    for k in ("phi_a", "phi_b", "phi_inf"):
+        np.testing.assert_allclose(
+            np.asarray(res.phi[k]), ref_phi[k].reshape(1, 3), rtol=1e-4, atol=1e-5,
+        )
+    # final-step per-image loss
+    np.testing.assert_allclose(
+        np.asarray(res.sep_loss)[-1], ref_loss, rtol=1e-3, atol=1e-4
+    )
+    # phi actually moved from its init
+    assert np.abs(np.asarray(res.phi["phi_a"]) - np.array([1.1, 0.95, 0.95])).max() > 1e-6
+
+
+def test_ps_rgb_guidance_loop_parity(no_torch_noise):
+    import_reference()
+    import torch
+    from guided_diffusion.gaussian_diffusion import create_sampler
+    from guided_diffusion.measurements import get_noise, get_operator as ref_get_op
+    from guided_diffusion.condition_methods import get_conditioning_method
+
+    rng = np.random.default_rng(1)
+    x0 = rng.standard_normal((1, HW, HW, 4)).astype(np.float32)
+    y = rng.uniform(-1, 1, (1, HW, HW, 3)).astype(np.float32)
+
+    sampler = create_sampler(
+        sampler="ddpm", steps=T_STEPS, noise_schedule="linear",
+        model_mean_type="epsilon", model_var_type="learned_range",
+        dynamic_threshold=False, clip_denoised=True, rescale_timesteps=False,
+        timestep_respacing="",
+    )
+    operator = ref_get_op(name="rgb_guidance", device=torch.device("cpu"), batch_size=1)
+    noiser = get_noise(name="gaussian", sigma=0)
+    cond = get_conditioning_method("ps", operator, noiser, scale="3,3,3,0.1")
+    x_start = torch.from_numpy(x0.transpose(0, 3, 1, 2)).clone().requires_grad_()
+    ref_img = sampler.p_sample_loop(
+        model=_fake_model_torch, x_start=x_start,
+        measurement=torch.from_numpy(y.transpose(0, 3, 1, 2)),
+        measurement_cond_fn=cond.conditioning,
+        record=False, save_root=None, pretrain_model="osmosis",
+        rgb_guidance=True, sample_pattern=PATTERN,
+    ).detach().numpy()
+
+    sch = make_schedule("linear", T_STEPS)
+    op = get_operator("rgb_guidance", batch_size=1)
+    gcfg = GuidanceConfig.from_config(
+        "ps", dict(scale="3,3,3,0.1", gradient_x_prev=True), PATTERN, None
+    )
+    res = guided_sample_loop(
+        _fake_model_jax, sch, jnp.asarray(x0), jnp.asarray(y),
+        jax.random.key(0), op, gcfg, SamplerConfig(clip_denoised=True),
+        sample_pattern=PATTERN, deterministic=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.sample).transpose(0, 3, 1, 2), ref_img, rtol=1e-3, atol=2e-4
+    )
+
+
+def test_guided_loop_stochastic_shapes_and_telemetry():
+    """Non-deterministic run: shapes, finiteness, snapshot recording."""
+    sch = make_schedule("linear", T_STEPS)
+    op = get_operator("underwater_physical_revised", batch_size=2, **OP_KW)
+    gcfg = GuidanceConfig.from_config(
+        "osmosis", COND_PARAMS, PATTERN,
+        {"aux_loss": {"avrg_loss": 0.5, "val_loss": 20.0}},
+    )
+    rng = np.random.default_rng(2)
+    x0 = rng.standard_normal((2, HW, HW, 4)).astype(np.float32)
+    y = rng.uniform(-1, 1, (2, HW, HW, 3)).astype(np.float32)
+    res = guided_sample_loop(
+        _fake_model_jax, sch, jnp.asarray(x0), jnp.asarray(y),
+        jax.random.key(3), op, gcfg, SamplerConfig(clip_denoised=True),
+        sample_pattern=PATTERN, record_every=20,
+    )
+    assert res.sample.shape == (2, HW, HW, 4)
+    assert np.isfinite(np.asarray(res.sample)).all()
+    assert res.sep_loss.shape == (T_STEPS, 2)
+    assert res.phi_trace["phi_a"].shape == (T_STEPS, 2, 3)
+    assert res.aux_trace["avrg_loss"].shape == (T_STEPS,)
+    # snapshots: steps 40, 20, 0 plus T-1=49
+    assert res.snapshots["steps"] == (49, 40, 20, 0)
+    assert np.isfinite(np.asarray(res.snapshots["x0_hat"])).all()
