@@ -9,37 +9,18 @@ transposes, the legacy qkv head permutation, GroupNorm semantics and the
 timestep embedding end to end.
 """
 
-import sys
-import types
-
 import numpy as np
 import pytest
 
-REFERENCE = "/root/reference"
+from tests.ref_utils import import_reference
 
 
 def _import_reference_unet():
-    for name in [
-        "torchvision",
-        "torchvision.transforms",
-        "torchvision.transforms.functional",
-        "torchvision.utils",
-    ]:
-        if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
-    sys.modules["torchvision"].transforms = sys.modules["torchvision.transforms"]
-    sys.modules["torchvision.transforms"].functional = sys.modules[
-        "torchvision.transforms.functional"
-    ]
-    if "natsort" not in sys.modules:
-        natsort = types.ModuleType("natsort")
-        natsort.natsorted = sorted
-        sys.modules["natsort"] = natsort
-    if REFERENCE not in sys.path:
-        sys.path.insert(0, REFERENCE)
-    from guided_diffusion.unet import UNetModel as TorchUNet  # noqa: E402
+    import_reference()
+    from guided_diffusion.unet import UNetModel as TorchUNet
 
     return TorchUNet
+
 
 
 TINY_KW = dict(

@@ -5,9 +5,6 @@ p_mean_variance / DDIM steps can be compared exactly (the PRNG streams are
 framework-specific, so full ancestral loops are checked against a numpy
 mirror that replays our noise)."""
 
-import sys
-import types
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,35 +12,15 @@ import pytest
 
 from osmosis_tpu.diffusion import make_schedule
 from osmosis_tpu.diffusion import sampler as S
-
-REFERENCE = "/root/reference"
+from tests.ref_utils import import_reference
 
 
 def _import_reference():
-    for name in [
-        "torchvision",
-        "torchvision.transforms",
-        "torchvision.transforms.functional",
-        "torchvision.utils",
-    ]:
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            if name == "torchvision.utils":
-                mod.make_grid = lambda *a, **k: None
-            sys.modules[name] = mod
-    sys.modules["torchvision"].transforms = sys.modules["torchvision.transforms"]
-    sys.modules["torchvision.transforms"].functional = sys.modules[
-        "torchvision.transforms.functional"
-    ]
-    if "natsort" not in sys.modules:
-        natsort = types.ModuleType("natsort")
-        natsort.natsorted = sorted
-        sys.modules["natsort"] = natsort
-    if REFERENCE not in sys.path:
-        sys.path.insert(0, REFERENCE)
+    import_reference()
     from guided_diffusion.gaussian_diffusion import create_sampler
 
     return create_sampler
+
 
 
 def _fake_model_torch(x, t):
