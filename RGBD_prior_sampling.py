@@ -1,0 +1,39 @@
+#!/usr/bin/env python
+"""Unconditional RGBD prior sampling CLI — same interface as the reference
+RGBD_prior_sampling.py: ``python RGBD_prior_sampling.py -c <config.yaml> -d <dev>``."""
+
+import os
+import sys
+from argparse import ArgumentParser
+
+
+def main():
+    parser = ArgumentParser()
+    parser.add_argument(
+        "-c", "--config_file", default="./configs/RGBD_sample_config.yaml",
+        help="Configurations file",
+    )
+    parser.add_argument("-d", "--device", default=0, help="Device index", type=int)
+    parser.add_argument(
+        "--bf16", action="store_true",
+        help="Run the UNet torso in bfloat16 (fp32 GroupNorm islands kept)",
+    )
+    args = parser.parse_args()
+    config_file = os.path.abspath(args.config_file)
+    print(f"\nConfiguration file:\n{config_file}\n")
+
+    import jax.numpy as jnp
+
+    from osmosis_tpu.pipelines import run_prior_sampling
+
+    run_prior_sampling(
+        config_file,
+        device_index=args.device,
+        model_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    print("\nFINISH!")
+
+
+if __name__ == "__main__":
+    main()
+    sys.exit()

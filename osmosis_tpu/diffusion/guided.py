@@ -101,7 +101,24 @@ class GuidedResult:
     sep_loss: jax.Array        # [T, B] per-image guidance loss trace
     phi_trace: Dict[str, jax.Array]  # [T, B, C]
     aux_trace: Dict[str, jax.Array]  # [T]
-    snapshots: Optional[dict] = None
+    x0_snapshots: Optional[jax.Array] = None  # [K, B, H, W, 4]
+    snapshot_steps: Tuple[int, ...] = ()      # static: timestep of each slot
+
+    @property
+    def snapshots(self) -> Optional[dict]:
+        if self.x0_snapshots is None:
+            return None
+        return {"steps": self.snapshot_steps, "x0_hat": self.x0_snapshots}
+
+
+jax.tree_util.register_dataclass(
+    GuidedResult,
+    data_fields=[
+        "sample", "pred_xstart", "phi", "sep_loss", "phi_trace", "aux_trace",
+        "x0_snapshots",
+    ],
+    meta_fields=["snapshot_steps"],
+)
 
 
 def _make_weight_fn(gcfg: GuidanceConfig):
@@ -337,9 +354,6 @@ def guided_sample_loop(
     carry0 = (x_init, phi0, opt_state0, jnp.zeros_like(x_init), buf_x0)
     (x, phi, _, x0_final, buf_x0), ys = jax.lax.scan(step, carry0, ts)
 
-    snapshots = None
-    if record_every is not None:
-        snapshots = {"steps": rec_steps, "x0_hat": buf_x0}
     return GuidedResult(
         sample=x,
         pred_xstart=x0_final,
@@ -347,5 +361,6 @@ def guided_sample_loop(
         sep_loss=ys["sep_loss"],
         phi_trace=ys["phi"],
         aux_trace=ys["aux"],
-        snapshots=snapshots,
+        x0_snapshots=buf_x0,
+        snapshot_steps=tuple(rec_steps),
     )

@@ -234,6 +234,7 @@ def sample_loop(
     start_t: Optional[int] = None,
     num_steps: Optional[int] = None,
     record_every: Optional[int] = None,
+    record_steps: Optional[Sequence[int]] = None,
 ):
     """Reverse diffusion without guidance.
 
@@ -250,8 +251,11 @@ def sample_loop(
 
     consts = {k: jnp.asarray(v) for k, v in schedule.device_constants().items()}
 
-    if record_every is not None:
-        rec_steps = record_steps_for(T, record_every, extra=(T - 1,))
+    if record_steps is not None or record_every is not None:
+        if record_steps is not None:
+            rec_steps = tuple(sorted(set(record_steps), reverse=True))
+        else:
+            rec_steps = record_steps_for(T, record_every, extra=(T - 1,))
         slot_map = jnp.asarray(make_slot_map(T, rec_steps))
         n_slots = len(rec_steps)
         buf_xt = jnp.zeros((n_slots,) + x_init.shape, x_init.dtype)
@@ -278,6 +282,6 @@ def sample_loop(
         step, (x_init, buf_xt, buf_x0), jnp.asarray(ts)
     )
     snapshots = None
-    if record_every is not None:
+    if slot_map is not None:
         snapshots = {"steps": rec_steps, "x_t": buf_xt, "x0_hat": buf_x0}
     return x, snapshots

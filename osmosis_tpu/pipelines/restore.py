@@ -1,0 +1,350 @@
+"""Guided restoration pipeline — the osmosis_sampling.py:33-409 equivalent.
+
+Per-image flow: preprocess on host → one jit-compiled guided scan on device
+(compiled ONCE, reused for every image and global iteration) → host
+post-processing (physical recomposition, depth colormaps, grids) → run-dir
+outputs. Output layout, log contents and config snapshot match the reference
+contract (README.md:434-448).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from functools import partial
+from os.path import join as pjoin
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as C
+from ..data import datasets as D
+from ..data import postprocess as P
+from ..data import transforms as TR
+from ..diffusion.guided import GuidanceConfig, guided_sample_loop
+from ..diffusion.sampler import SamplerConfig
+from ..diffusion.schedules import make_schedule
+from ..guidance.noise import get_noiser
+from ..guidance.operators import convert_depth, get_operator
+from ..models.convert import load_unet_params
+from ..models.unet import UNetModel, unet_config_from_yaml
+from ..utils import logging as L
+from ..utils.rundir import make_output_dirs, update_save_dir_date
+
+
+def _log_run_header(logger, args):
+    """utils.py:635-669 log_text equivalent."""
+    cp = args.conditioning["params"]
+    op = args.measurement["operator"]
+    txt = (
+        f"\n\nGuidance Scale: {cp['scale']}"
+        f"\nLoss Function: {cp['loss_function']}"
+        f"\nweight: {cp['loss_weight']}, weight_function: {cp['weight_function']}"
+        f"\nAuxiliary Loss: {args.aux_loss['aux_loss']}"
+        f"\nUnderwater model: {op['name']}"
+        f"\nOptimize w.r.t: {'x_prev' if cp['gradient_x_prev'] else 'x0'}"
+        f"\nOptimizer model: {op.get('optimizer', 'none')}, "
+        f"\nManual seed: {args.manual_seed}"
+        f"\nDepth type: {op['depth_type']}, value: {op['value']}"
+        f"\nNoise: {args.measurement['noise']['name']}"
+    )
+    if "sigma" in args.measurement["noise"]:
+        txt += f", sigma: {args.measurement['noise']['sigma']}"
+    clip_on, clip_val = C.parse_gradient_clip(cp["gradient_clip"])
+    txt += f"\nGradient Clipping: {clip_on}"
+    if clip_on:
+        txt += f", min value: -{clip_val}, max value: {clip_val}"
+    sp = args.sample_pattern
+    if sp["pattern"] == "original":
+        txt += "\nSample Pattern: original"
+    else:
+        txt += (
+            f"\nSample Pattern: {sp['pattern']}, "
+            f"\n     Guidance start: {sp['start_guidance']} ,end: {sp['stop_guidance']}"
+            f"\n     Optimizations iters: {sp['n_iter']}, "
+            f"\n     Update start from: {sp['update_start']}, end: {sp['update_end']}"
+            f"\n     M: {sp['local_M']}, start: {sp['s_start']}, end: {sp['s_end']}"
+        )
+    logger.log(txt)
+
+
+def _save_process_grid(snapshots, path):
+    """Recorded x0-hat snapshots → rgb row + depth row grid
+    (gaussian_diffusion.py:309-333)."""
+    x0s = np.asarray(snapshots["x0_hat"])  # [K, B, H, W, 4]
+    rgb_row, depth_row = [], []
+    for k in range(x0s.shape[0]):
+        x0 = x0s[k, 0]
+        rgb_row.append(P.clip01(P.to_01(x0[..., 0:3])))
+        d = P.min_max_norm_range_percentile(x0[..., 3], percent_low=0.05, percent_high=0.99)
+        depth_row.append(P.depth_to_color(d))
+    grid = P.make_grid(rgb_row + depth_row, nrow=len(rgb_row))
+    P.save_png(grid, path)
+
+
+def run_restoration(
+    config_file: str,
+    device_index: int = 0,
+    model_dtype=jnp.float32,
+    save_dir_override: Optional[str] = None,
+) -> str:
+    """Run the full guided restoration over the configured dataset.
+
+    Returns the run output directory.
+    """
+    args = C.arguments_from_file(config_file)
+    args.image_size = args.unet_model["image_size"]
+    image_size = args.image_size
+    devices = jax.devices()
+    device = devices[min(device_index, len(devices) - 1)]
+
+    data_config = args.data
+    gt_flag = bool(data_config.get("ground_truth", False)) if isinstance(
+        data_config, dict
+    ) else False
+
+    transform = partial(TR.preprocess_image, size=image_size)
+    if gt_flag:
+        dataset = D.ImagesFolderGT(
+            data_config["root"], data_config["gt_rgb"], data_config["gt_depth"],
+            transform=transform,
+        )
+    else:
+        dataset = D.ImagesFolder(data_config["root"], transform=transform)
+
+    # model + checkpoint
+    ucfg = unet_config_from_yaml(args.unet_model, dtype=model_dtype, remat=True)
+    model = UNetModel(ucfg)
+    params = load_unet_params(args.unet_model.get("model_path", ""), ucfg)
+    params = jax.device_put(params, device)
+
+    measure_config = args.measurement
+    cond_config = args.conditioning
+    sample_pattern = args.sample_pattern
+    rgb_guidance = bool(getattr(args, "rgb_guidance", False))
+
+    # output directory contract (osmosis_sampling.py:76-105)
+    operator_name = measure_config["operator"]["name"]
+    base = save_dir_override or args.save_dir
+    out_path = os.path.abspath(pjoin(base, operator_name, data_config["name"]))
+    out_path = update_save_dir_date(out_path)
+    C.config_snapshot(config_file, pjoin(out_path, "configurations.txt"))
+    paths = make_output_dirs(out_path, args.save_singles, args.save_grids)
+
+    logger = L.configure(out_path)
+    logger.log(f"pretrained model file: {args.unet_model['model_path']}")
+    if not rgb_guidance:
+        _log_run_header(logger, args)
+
+    # schedule + sampler config (diffusion section)
+    dcfg = args.diffusion
+    schedule = make_schedule(
+        noise_schedule=dcfg["noise_schedule"], steps=dcfg["steps"],
+        timestep_respacing=dcfg.get("timestep_respacing", ""),
+        rescale_timesteps=dcfg.get("rescale_timesteps", False),
+    )
+    scfg = SamplerConfig(
+        sampler=dcfg["sampler"],
+        model_mean_type=dcfg["model_mean_type"],
+        model_var_type=dcfg["model_var_type"],
+        dynamic_threshold=dcfg.get("dynamic_threshold", False),
+        clip_denoised=dcfg.get("clip_denoised", False),
+    )
+
+    batch_size = data_config.get("batch_size", 1)
+    op_kwargs = {k: v for k, v in measure_config["operator"].items() if k != "name"}
+    operator = get_operator(operator_name, batch_size=batch_size, **op_kwargs)
+    noiser = get_noiser(**measure_config["noise"])
+    method = cond_config["method"]
+    gcfg = GuidanceConfig.from_config(
+        method if not rgb_guidance else "ps",
+        cond_config["params"], sample_pattern, args.aux_loss,
+    )
+
+    record_every = args.record_every if args.record_process else None
+
+    def _run(params_, x_init, y, key):
+        def model_fn(x, t):
+            return model.apply(params_, x, t)
+
+        return guided_sample_loop(
+            model_fn, schedule, x_init, y, key, operator, gcfg, scfg,
+            sample_pattern=sample_pattern, record_every=record_every,
+        )
+
+    run_fn = jax.jit(_run)
+
+    global_N = 1
+    if sample_pattern["pattern"] == "pcgs":
+        global_N = sample_pattern.get("global_N", 1)
+    elif sample_pattern["pattern"] != "original":
+        raise ValueError(f"Unrecognized sample pattern: {sample_pattern['pattern']}")
+
+    stop_after = data_config.get("stop_after", -1)
+
+    for i, (ref_img, ref_img_name) in enumerate(dataset):
+        if i == stop_after:
+            break
+        if gt_flag:
+            ref_img, gt_rgb, gt_depth = ref_img
+        start_time = datetime.datetime.now()
+        orig_name = os.path.splitext(ref_img_name)[0]
+        logger.log(f"\nInference image {i}: {ref_img_name}\n")
+
+        ref_np = ref_img[None]  # [1,H,W,3]
+        y = jnp.asarray(ref_np)
+        noise_key = jax.random.fold_in(jax.random.key(args.manual_seed + 1), i)
+        y = noiser(y, key=noise_key)
+        if getattr(args, "degamma_input", False):
+            y = jnp.asarray(TR.degamma(np.asarray(y)))
+
+        for global_ii in range(global_N):
+            logger.log(f"global iteration: {global_ii}\n")
+            # seed reset per global iteration (osmosis_sampling.py:194)
+            key = jax.random.key(args.manual_seed)
+            x_start = jax.random.normal(
+                jax.random.fold_in(key, 0), (1, image_size, image_size, 4)
+            )
+            res = run_fn(params, x_start, y, jax.random.fold_in(key, 1))
+
+            if rgb_guidance:
+                _save_rgb_guidance_outputs(
+                    args, paths, orig_name, ref_np[0], np.asarray(res.sample)[0], logger
+                )
+            else:
+                _save_osmosis_outputs(
+                    args, paths, orig_name, global_ii, ref_np[0], res, operator,
+                    measure_config, logger,
+                    gt=(gt_rgb, gt_depth) if gt_flag else None,
+                )
+            if record_every is not None and paths["grids"] is not None:
+                _save_process_grid(
+                    res.snapshots, pjoin(paths["grids"], f"{orig_name}_process.png")
+                )
+            logger.log(f"Run time: {datetime.datetime.now() - start_time}")
+
+    logger.close()
+    return out_path
+
+
+def _save_osmosis_outputs(
+    args, paths, orig_name, global_ii, ref_img, res, operator, measure_config, logger,
+    gt=None,
+):
+    """osmosis_sampling.py:204-358: split rgb/depth, physical recomposition,
+    phi logging, singles + grid saving."""
+    x0 = np.asarray(res.pred_xstart)[0]  # [H,W,4]
+    sample_rgb = x0[..., 0:3]
+    sample_depth = x0[..., 3]
+
+    ref01 = P.to_01(ref_img)
+    rgb01 = P.to_01(sample_rgb)
+    rgb01_clip = P.clip01(rgb01)
+    depth_mm = P.min_max_norm_range(sample_depth)
+    depth_pmm = P.min_max_norm_range_percentile(
+        sample_depth, percent_low=0.03, percent_high=0.99
+    )
+    depth_color = P.depth_to_color(depth_pmm)
+
+    op_cfg = measure_config["operator"]
+    depth_calc = np.asarray(
+        convert_depth(
+            jnp.asarray(sample_depth[..., None]),
+            operator.depth_type, operator.depth_value,
+        )
+    )
+
+    phi = {k: np.asarray(v)[0] for k, v in res.phi.items()}  # [C]
+    phi_inf = phi["phi_inf"].reshape(1, 1, -1)
+    final_loss = np.asarray(res.sep_loss)[-1]
+
+    if "underwater_physical_revised" in operator.name:
+        phi_a = phi["phi_a"].reshape(1, 1, -1)
+        phi_b = phi["phi_b"].reshape(1, 1, -1)
+        backscatter = phi_inf * (1 - np.exp(-phi_b * depth_calc))
+        attenuation = np.exp(-phi_a * depth_calc)
+        forward_pred = rgb01 * attenuation + backscatter
+        degraded = 2 * forward_pred - 1
+        norm_loss = np.round([np.linalg.norm(degraded - ref_img)], decimals=3)
+        recon = np.exp(phi_a * depth_calc) * (ref01 - backscatter)
+        logger.log(
+            f"\nInitialized values: "
+            f"\nphi_a: [{op_cfg['phi_a']}], lr: {op_cfg['phi_a_eta']}"
+            f"\nphi_b: [{op_cfg['phi_b']}], lr: {op_cfg['phi_b_eta']}"
+            f"\nphi_inf: [{op_cfg['phi_inf']}], lr: {op_cfg['phi_inf_eta']}"
+            f"\n\nResults values: "
+            f"\nphi_a: {np.round(phi['phi_a'], 3).tolist()}"
+            f"\nphi_b: {np.round(phi['phi_b'], 3).tolist()}"
+            f"\nphi_inf: {np.round(phi['phi_inf'], 3).tolist()}"
+            f"\n\nNorm loss: {norm_loss}"
+            f"\nFinal loss: {np.round(final_loss, 3)}"
+        )
+    elif ("haze" in operator.name) or ("underwater_physical" in operator.name):
+        phi_ab = phi["phi_ab"].reshape(1, 1, -1)
+        backscatter = phi_inf * (1 - np.exp(-phi_ab * depth_calc))
+        attenuation = np.exp(-phi_ab * depth_calc)
+        forward_pred = rgb01 * attenuation + backscatter
+        degraded = 2 * forward_pred - 1
+        norm_loss = np.round([np.linalg.norm(degraded - ref_img)], decimals=3)
+        recon = np.exp(phi_ab * depth_calc) * (ref01 - backscatter)
+        logger.log(
+            f"\nInitialized values: "
+            f"\nphi_ab: [{op_cfg['phi_ab']}], lr: {op_cfg['phi_ab_eta']}"
+            f"\nphi_inf: [{op_cfg['phi_inf']}], lr: {op_cfg['phi_inf_eta']}"
+            f"\n\nResults values: "
+            f"\nphi_ab: {np.round(phi['phi_ab'], 3)}"
+            f"\nphi_inf: {np.round(phi['phi_inf'], 3)}"
+            f"\n\nNorm loss: {norm_loss}"
+            f"\nFinal loss: {np.round(final_loss, 5)}"
+        )
+    else:
+        raise NotImplementedError("Operator can be for 'underwater' or 'haze'")
+
+    if args.save_singles:
+        P.save_png(ref01, pjoin(paths["input"], f"{orig_name}.png"))
+        P.save_png(rgb01_clip, pjoin(paths["rgb"], f"{orig_name}.png"))
+        P.save_png(depth_color, pjoin(paths["depth_color"], f"{orig_name}.png"))
+        P.save_png(depth_mm, pjoin(paths["depth_raw"], f"{orig_name}.png"))
+
+    if args.save_grids:
+        grid_list = [ref01, rgb01_clip, depth_color]
+        if gt is not None:
+            gt_rgb, gt_depth = gt
+            grid_list += [
+                np.zeros_like(rgb01),
+                P.to_01(gt_rgb),
+                P.depth_to_color(P.to_01(gt_depth)[..., 0]),
+            ]
+        grid = P.make_grid(grid_list, nrow=3, pad_value=1.0)
+        P.save_png(grid, pjoin(paths["grids"], f"{orig_name}_g{global_ii}_grid.png"))
+
+    if args.save_singles or args.save_grids:
+        logger.log(f"result images was saved into: {paths['out']}")
+
+
+def _save_rgb_guidance_outputs(args, paths, orig_name, ref_img, sample, logger):
+    """osmosis_sampling.py:361-406: rgb-guidance output saving (from the
+    final SAMPLE, not x0-hat)."""
+    sample_rgb = sample[..., 0:3]
+    sample_depth = sample[..., 3]
+    ref01 = P.to_01(ref_img)
+    rgb01_clip = P.clip01(P.to_01(sample_rgb))
+    depth_mm = P.min_max_norm_range(sample_depth)
+    depth_pmm = P.min_max_norm_range_percentile(
+        sample_depth, percent_low=0.05, percent_high=0.99
+    )
+    depth_color = P.depth_to_color(depth_pmm)
+
+    if args.save_singles:
+        P.save_png(ref01, pjoin(paths["input"], f"{orig_name}.png"))
+        P.save_png(rgb01_clip, pjoin(paths["rgb"], f"{orig_name}.png"))
+        P.save_png(depth_color, pjoin(paths["depth_color"], f"{orig_name}.png"))
+        P.save_png(depth_mm, pjoin(paths["depth_raw"], f"{orig_name}.png"))
+    if args.save_grids:
+        grid = P.make_grid([ref01, rgb01_clip, depth_color], nrow=3, pad_value=1.0)
+        P.save_png(grid, pjoin(paths["grids"], f"{orig_name}.png"))
+    if args.save_singles or args.save_grids:
+        logger.log(f"result images was saved into: {paths['out']}")

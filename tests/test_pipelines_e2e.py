@@ -1,0 +1,205 @@
+"""End-to-end pipeline smoke tests: tiny random-init UNet, tiny images,
+reduced steps — asserts the full CLI flow produces the reference's run-dir
+contract (configurations.txt, log.txt, single_images/*, grid_results/*)."""
+
+import os
+from os.path import join as pjoin
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+TINY_UNET = dict(
+    image_size=32,
+    num_channels=32,
+    num_res_blocks=1,
+    channel_mult="1,2",
+    learn_sigma=True,
+    class_cond=False,
+    use_checkpoint=False,
+    attention_resolutions="8",
+    num_heads=4,
+    num_head_channels=16,
+    num_heads_upsample=-1,
+    use_scale_shift_norm=True,
+    dropout=0.0,
+    resblock_updown=True,
+    use_fp16=False,
+    use_new_attention_order=False,
+    model_path="/nonexistent/random_init.pt",
+    pretrain_model="osmosis",
+)
+
+DIFFUSION = dict(
+    sampler="ddpm", steps=50, noise_schedule="linear",
+    model_mean_type="epsilon", model_var_type="learned_range",
+    dynamic_threshold=False, clip_denoised=True, min_max_denoised=False,
+    rescale_timesteps=False, timestep_respacing=50,
+)
+
+PATTERN = dict(
+    pattern="pcgs", update_start=0.7, update_end=0, global_N=1, local_M=1,
+    s_start=1, s_end=0, n_iter=2, start_guidance=1, stop_guidance=0,
+)
+
+
+def _write_images(d, n=2, size=40):
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        arr = rng.integers(0, 255, (size, size + 8, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(pjoin(d, f"img_{i}.png"))
+
+
+@pytest.fixture()
+def tiny_dataset(tmp_path):
+    d = str(tmp_path / "images")
+    _write_images(d)
+    return d
+
+
+def test_restoration_pipeline_e2e(tmp_path, tiny_dataset):
+    cfg = dict(
+        save_dir=str(tmp_path / "results"),
+        degamma_input=False, manual_seed=0, rgb_guidance=False,
+        save_singles=True, save_grids=True,
+        record_process=True, record_every=20,
+        change_input_output_channels=True, input_channels=4, output_channels=8,
+        sample_pattern=PATTERN,
+        unet_model=TINY_UNET,
+        diffusion=DIFFUSION,
+        conditioning=dict(
+            method="osmosis",
+            params=dict(
+                loss_function="norm", loss_weight="depth",
+                weight_function="gamma,1.4,1.4,1", scale="7,7,7,0.9",
+                gradient_x_prev=True, gradient_clip="True,0.005",
+            ),
+        ),
+        aux_loss=dict(aux_loss=dict(avrg_loss=0.5, val_loss=20)),
+        data=dict(batch_size=1, name="tiny", root=tiny_dataset,
+                  stop_after=1, ground_truth=False),
+        measurement=dict(
+            operator=dict(
+                name="underwater_physical_revised", optimizer="sgd",
+                depth_type="gamma", value="1.4,1.4,1",
+                phi_a="1.1,0.95,0.95", phi_a_eta=1e-5, phi_a_learn_flag=True,
+                phi_b="0.95, 0.8, 0.8", phi_b_eta=1e-5, phi_b_learn_flag=True,
+                phi_inf="0.14, 0.29, 0.49", phi_inf_eta=1e-5, phi_inf_learn_flag=True,
+            ),
+            noise=dict(name="clean"),
+        ),
+    )
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+
+    from osmosis_tpu.pipelines import run_restoration
+
+    out = run_restoration(cfg_path)
+    # run-dir contract
+    assert os.path.exists(pjoin(out, "configurations.txt"))
+    assert os.path.exists(pjoin(out, "log.txt"))
+    # stop_after=1 → only image 0 processed
+    assert os.path.exists(pjoin(out, "single_images", "input", "img_0.png"))
+    assert os.path.exists(pjoin(out, "single_images", "rgb", "img_0.png"))
+    assert os.path.exists(pjoin(out, "single_images", "depth_color", "img_0.png"))
+    assert os.path.exists(pjoin(out, "single_images", "depth_raw", "img_0.png"))
+    assert os.path.exists(pjoin(out, "grid_results", "img_0_g0_grid.png"))
+    assert os.path.exists(pjoin(out, "grid_results", "img_0_process.png"))
+    assert not os.path.exists(pjoin(out, "single_images", "rgb", "img_1.png"))
+    log = open(pjoin(out, "log.txt")).read()
+    assert "phi_a" in log and "Norm loss" in log
+
+
+def test_rgb_guidance_pipeline_e2e(tmp_path, tiny_dataset):
+    cfg = dict(
+        save_dir=str(tmp_path / "results"),
+        degamma_input=False, manual_seed=0, rgb_guidance=True,
+        save_singles=True, save_grids=True,
+        record_process=False, record_every=20,
+        change_input_output_channels=True, input_channels=4, output_channels=8,
+        sample_pattern=PATTERN,
+        unet_model=TINY_UNET,
+        diffusion=DIFFUSION,
+        conditioning=dict(
+            method="ps",
+            params=dict(
+                loss_function="norm", loss_weight="depth",
+                weight_function="gamma,1.4,1.4,1", scale="3,3,3,0.1",
+                gradient_x_prev=True, gradient_clip="False,0.001",
+            ),
+        ),
+        aux_loss=dict(aux_loss=None),
+        data=dict(batch_size=1, name="rgb_guidance", root=tiny_dataset,
+                  stop_after=1, ground_truth=False),
+        measurement=dict(
+            operator=dict(name="rgb_guidance"),
+            noise=dict(name="gaussian", sigma=0),
+        ),
+    )
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+
+    from osmosis_tpu.pipelines import run_restoration
+
+    out = run_restoration(cfg_path)
+    assert os.path.exists(pjoin(out, "single_images", "rgb", "img_0.png"))
+    assert os.path.exists(pjoin(out, "grid_results", "img_0.png"))
+
+
+def test_prior_pipeline_e2e(tmp_path):
+    cfg = dict(
+        save_dir=str(tmp_path / "results"),
+        number_of_images=1, manual_seed=4321,
+        save_singles=True, save_grids=True,
+        record_process=True, record_every=20,
+        change_input_output_channels=True, input_channels=4, output_channels=8,
+        unet_model=TINY_UNET,
+        diffusion=DIFFUSION,
+    )
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+
+    from osmosis_tpu.pipelines import run_prior_sampling
+
+    out = run_prior_sampling(cfg_path)
+    assert os.path.exists(pjoin(out, "configurations.txt"))
+    assert os.path.exists(pjoin(out, "single_images", "rgb", "image_0.png"))
+    assert os.path.exists(pjoin(out, "single_images", "depth_color", "image_0.png"))
+    assert os.path.exists(pjoin(out, "grid_results", "image_0.png"))
+    assert os.path.exists(pjoin(out, "grid_results", "image_0_process.png"))
+
+
+def test_shipped_configs_parse():
+    """The five shipped presets parse and build valid component configs."""
+    import glob
+
+    from osmosis_tpu import config as C
+    from osmosis_tpu.models import unet_config_from_yaml
+
+    cfgs = sorted(glob.glob("configs/*.yaml"))
+    assert len(cfgs) == 5
+    for path in cfgs:
+        args = C.arguments_from_file(path)
+        ucfg = unet_config_from_yaml(args.unet_model)
+        assert ucfg.in_channels == 4 and ucfg.out_channels == 8
+        assert ucfg.attention_resolutions == (8, 16, 32)
+        if hasattr(args, "conditioning"):
+            from osmosis_tpu.diffusion.guided import GuidanceConfig
+
+            gcfg = GuidanceConfig.from_config(
+                args.conditioning["method"], args.conditioning["params"],
+                args.sample_pattern, args.aux_loss,
+            )
+            assert gcfg.n_iter == 20
+        if hasattr(args, "measurement"):
+            from osmosis_tpu.guidance.operators import get_operator
+
+            op_kwargs = {
+                k: v for k, v in args.measurement["operator"].items() if k != "name"
+            }
+            op = get_operator(args.measurement["operator"]["name"], **op_kwargs)
