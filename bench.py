@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Benchmark: guided-restoration denoise steps/sec at 256x256 RGBD.
+
+Workload per step = the reference's per-timestep cost (BASELINE.md): one UNet
+forward + one UNet backward (joint guidance gradient) + 20 physics-only phi
+gradient steps, compiled into one lax.scan on a single TPU chip, bf16 torso.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
+vs_baseline is measured against the driver's north-star target of a full
+1000-step guided 256px restoration in <10 s on one v5e chip (= 100 steps/s);
+the reference itself publishes no throughput numbers (BASELINE.md).
+
+Extra diagnostics (prior-sampling forward-only steps/sec, compile time,
+end-to-end seconds/image) go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BENCH_STEPS = 40
+TARGET_STEPS_PER_SEC = 100.0  # 1000 steps / 10 s north star
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _force_sync(out):
+    """block_until_ready alone is unreliable on the axon PJRT relay —
+    a host fetch guarantees completion."""
+    import numpy as np
+
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+
+def build_guided_run(dtype=jnp.bfloat16, n_iter=20, image_size=256):
+    from osmosis_tpu.diffusion.guided import GuidanceConfig, guided_sample_loop
+    from osmosis_tpu.diffusion.sampler import SamplerConfig
+    from osmosis_tpu.diffusion.schedules import make_schedule
+    from osmosis_tpu.guidance.operators import get_operator
+    from osmosis_tpu.models import UNetConfig, UNetModel
+
+    cfg = UNetConfig(
+        image_size=image_size, in_channels=4, out_channels=8, model_channels=256,
+        num_res_blocks=2, attention_resolutions=(8, 16, 32),
+        channel_mult=(1, 1, 2, 2, 4, 4), num_head_channels=64,
+        use_scale_shift_norm=True, resblock_updown=True,
+        dtype=dtype, remat=True,
+    )
+    model = UNetModel(cfg)
+    params = jax.jit(model.init)(
+        jax.random.key(0),
+        jnp.zeros((1, image_size, image_size, 4)),
+        jnp.zeros((1,)),
+    )
+
+    # 1000-step schedule respaced to BENCH_STEPS — identical per-step compute
+    schedule = make_schedule("linear", 1000, timestep_respacing=BENCH_STEPS)
+    operator = get_operator(
+        "underwater_physical_revised", batch_size=1, optimizer="sgd",
+        depth_type="gamma", value="1.4,1.4,1",
+        phi_a="1.1,0.95,0.95", phi_b="0.95,0.8,0.8", phi_inf="0.14,0.29,0.49",
+    )
+    pattern = dict(
+        pattern="pcgs", update_start=0.7, update_end=0, global_N=1, local_M=1,
+        s_start=1, s_end=0, n_iter=n_iter, start_guidance=1, stop_guidance=0,
+    )
+    gcfg = GuidanceConfig.from_config(
+        "osmosis",
+        dict(loss_function="norm", loss_weight="depth",
+             weight_function="gamma,1.4,1.4,1", scale="7,7,7,0.9",
+             gradient_x_prev=True, gradient_clip="True,0.005"),
+        pattern,
+        {"aux_loss": {"avrg_loss": 0.5, "val_loss": 20.0}},
+    )
+
+    def _run(params_, x, y, key):
+        def model_fn(xx, tt):
+            return model.apply(params_, xx, tt)
+
+        res = guided_sample_loop(
+            model_fn, schedule, x, y, key, operator, gcfg,
+            SamplerConfig(clip_denoised=True), sample_pattern=pattern,
+        )
+        return res.sample, res.phi
+
+    run = jax.jit(_run)
+    x = jax.random.normal(jax.random.key(1), (1, image_size, image_size, 4))
+    y = jax.random.uniform(jax.random.key(2), (1, image_size, image_size, 3),
+                           minval=-1.0, maxval=1.0)
+    return run, params, x, y
+
+
+def build_prior_run(dtype=jnp.bfloat16, image_size=256):
+    from osmosis_tpu.diffusion.sampler import SamplerConfig, sample_loop
+    from osmosis_tpu.diffusion.schedules import make_schedule
+    from osmosis_tpu.models import UNetConfig, UNetModel
+
+    cfg = UNetConfig(
+        image_size=image_size, in_channels=4, out_channels=8, model_channels=256,
+        num_res_blocks=2, attention_resolutions=(8, 16, 32),
+        channel_mult=(1, 1, 2, 2, 4, 4), num_head_channels=64,
+        use_scale_shift_norm=True, resblock_updown=True, dtype=dtype,
+    )
+    model = UNetModel(cfg)
+    params = jax.jit(model.init)(
+        jax.random.key(0),
+        jnp.zeros((1, image_size, image_size, 4)),
+        jnp.zeros((1,)),
+    )
+    schedule = make_schedule("linear", 1000)
+
+    def _run(params_, x, key):
+        def model_fn(xx, tt):
+            return model.apply(params_, xx, tt)
+
+        out, _ = sample_loop(
+            model_fn, schedule, x, key,
+            SamplerConfig(model_var_type="fixed_small"),
+            start_t=1000, num_steps=BENCH_STEPS,
+        )
+        return out
+
+    run = jax.jit(_run)
+    x = jax.random.normal(jax.random.key(1), (1, image_size, image_size, 4))
+    return run, params, x
+
+
+def main():
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    run, params, x, y = build_guided_run()
+    key = jax.random.key(3)
+    t0 = time.perf_counter()
+    out = run(params, x, y, key)
+    _force_sync(out)
+    compile_s = time.perf_counter() - t0
+    log(f"guided compile+first run: {compile_s:.1f}s")
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = run(params, x, y, jax.random.fold_in(key, i))
+        _force_sync(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    guided_sps = BENCH_STEPS / best
+    log(f"guided: {best:.3f}s / {BENCH_STEPS} steps -> {guided_sps:.2f} steps/s "
+        f"-> {1000 / guided_sps:.1f} s per 1000-step image")
+
+    prun, pparams, px = build_prior_run()
+    t0 = time.perf_counter()
+    _force_sync(prun(pparams, px, key))
+    log(f"prior compile+first run: {time.perf_counter() - t0:.1f}s")
+    ptimes = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _force_sync(prun(pparams, px, jax.random.fold_in(key, i)))
+        ptimes.append(time.perf_counter() - t0)
+    prior_sps = BENCH_STEPS / min(ptimes)
+    log(f"prior: {min(ptimes):.3f}s / {BENCH_STEPS} steps -> {prior_sps:.2f} steps/s")
+
+    print(json.dumps({
+        "metric": "guided_denoise_steps_per_sec_256px_rgbd",
+        "value": round(guided_sps, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(guided_sps / TARGET_STEPS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

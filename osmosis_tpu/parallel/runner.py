@@ -1,0 +1,59 @@
+"""Batched / data-parallel fleet runner.
+
+The reference processes one image at a time (batch_size=1 in every shipped
+config; its batch>1 guidance semantics are untested and couple images through
+the joint norm loss). For throughput, this runner ``jax.vmap``s the batch-1
+guided loop over a stack of images: every image gets EXACTLY the batch-1
+math (independent phi, independent loss norms), while the UNet executes with
+a real batch dimension on the MXU. The stacked axis shards over the mesh's
+'dp' axis for multi-chip fleets.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..diffusion.guided import GuidanceConfig, guided_sample_loop
+from ..diffusion.sampler import SamplerConfig
+from ..diffusion.schedules import DiffusionSchedule
+from ..guidance.operators import Operator
+
+
+def make_batched_guided_runner(
+    model_apply,
+    schedule: DiffusionSchedule,
+    operator: Operator,
+    gcfg: GuidanceConfig,
+    scfg: SamplerConfig = SamplerConfig(),
+    sample_pattern: Optional[dict] = None,
+    record_every: Optional[int] = None,
+    mesh=None,
+):
+    """Returns jit(fn)(params, xs, ys, keys) where xs: [N,H,W,4], ys: [N,H,W,3],
+    keys: [N] PRNG keys. Output pytree has a leading N axis; each element is
+    bit-identical in semantics to an independent batch-1 guided run."""
+
+    def one(params, x, y, key):
+        def model_fn(xx, tt):
+            return model_apply(params, xx, tt)
+
+        return guided_sample_loop(
+            model_fn, schedule, x[None], y[None], key, operator, gcfg, scfg,
+            sample_pattern=sample_pattern, record_every=record_every,
+        )
+
+    batched = jax.vmap(one, in_axes=(None, 0, 0, 0))
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def run(params, xs, ys, keys):
+            xs = jax.lax.with_sharding_constraint(xs, NamedSharding(mesh, P("dp")))
+            ys = jax.lax.with_sharding_constraint(ys, NamedSharding(mesh, P("dp")))
+            return batched(params, xs, ys, keys)
+
+        return jax.jit(run)
+    return jax.jit(batched)
