@@ -32,6 +32,7 @@ from ..guidance.operators import convert_depth, get_operator
 from ..models.convert import load_unet_params
 from ..models.unet import UNetModel, unet_config_from_yaml
 from ..utils import logging as L
+from ..utils import profiling as prof
 from ..utils.rundir import make_output_dirs, update_save_dir_date
 
 
@@ -185,6 +186,8 @@ def run_restoration(
 
     stop_after = data_config.get("stop_after", -1)
 
+    resume = bool(getattr(args, "resume", False))
+
     for i, (ref_img, ref_img_name) in enumerate(dataset):
         if i == stop_after:
             break
@@ -192,6 +195,12 @@ def run_restoration(
             ref_img, gt_rgb, gt_depth = ref_img
         start_time = datetime.datetime.now()
         orig_name = os.path.splitext(ref_img_name)[0]
+        # per-image resumability (SURVEY.md section 5): skip finished images
+        if resume and paths.get("rgb") and os.path.exists(
+            pjoin(paths["rgb"], f"{orig_name}.png")
+        ):
+            logger.log(f"skipping image {i}: {ref_img_name} (output exists)")
+            continue
         logger.log(f"\nInference image {i}: {ref_img_name}\n")
 
         ref_np = ref_img[None]  # [1,H,W,3]
@@ -208,24 +217,35 @@ def run_restoration(
             x_start = jax.random.normal(
                 jax.random.fold_in(key, 0), (1, image_size, image_size, 4)
             )
-            res = run_fn(params, x_start, y, jax.random.fold_in(key, 1))
+            with prof.phase("sample"):
+                res = run_fn(params, x_start, y, jax.random.fold_in(key, 1))
+                res = jax.tree_util.tree_map(np.asarray, res)
 
-            if rgb_guidance:
-                _save_rgb_guidance_outputs(
-                    args, paths, orig_name, ref_np[0], np.asarray(res.sample)[0], logger
-                )
-            else:
-                _save_osmosis_outputs(
-                    args, paths, orig_name, global_ii, ref_np[0], res, operator,
-                    measure_config, logger,
-                    gt=(gt_rgb, gt_depth) if gt_flag else None,
-                )
-            if record_every is not None and paths["grids"] is not None:
-                _save_process_grid(
-                    res.snapshots, pjoin(paths["grids"], f"{orig_name}_process.png")
-                )
-            logger.log(f"Run time: {datetime.datetime.now() - start_time}")
+            with prof.phase("postprocess+save"):
+                if rgb_guidance:
+                    _save_rgb_guidance_outputs(
+                        args, paths, orig_name, ref_np[0],
+                        np.asarray(res.sample)[0], logger,
+                    )
+                else:
+                    _save_osmosis_outputs(
+                        args, paths, orig_name, global_ii, ref_np[0], res, operator,
+                        measure_config, logger,
+                        gt=(gt_rgb, gt_depth) if gt_flag else None,
+                    )
+                if record_every is not None and paths["grids"] is not None:
+                    _save_process_grid(
+                        res.snapshots, pjoin(paths["grids"], f"{orig_name}_process.png")
+                    )
+            dt = datetime.datetime.now() - start_time
+            logger.log(f"Run time: {dt}")
+            logger.logkv("image", ref_img_name)
+            logger.logkv("global_iter", global_ii)
+            logger.logkv("seconds", dt.total_seconds())
+            logger.logkv("final_loss", float(np.asarray(res.sep_loss)[-1].mean()))
+            logger.dumpkvs()
 
+    logger.log(prof.TIMERS.summary())
     logger.close()
     return out_path
 
