@@ -18,6 +18,10 @@ def main():
         "--bf16", action="store_true",
         help="Run the UNet torso in bfloat16 (fp32 GroupNorm islands kept)",
     )
+    parser.add_argument(
+        "--progress", type=int, default=None, metavar="N",
+        help="print loss/phi every N diffusion steps (async host callback)",
+    )
     args = parser.parse_args()
     config_file = os.path.abspath(args.config_file)
     print(f"\nConfiguration file:\n{config_file}\n")
@@ -30,6 +34,7 @@ def main():
         config_file,
         device_index=args.device,
         model_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        progress_every=args.progress,
     )
     print("\nFINISH!")
 

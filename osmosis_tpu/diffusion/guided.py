@@ -54,12 +54,22 @@ from .sampler import (
 from .schedules import DiffusionSchedule
 
 
+from ..registry import CONDITIONERS
+
+# conditioning-method registry — the same string surface as
+# condition_methods.py:8-24; entries map method name → whether the sampler
+# runs the osmosis-style (guidance before noise) or DPS-style (noise first)
+# step. New methods register here.
+CONDITIONERS.register("osmosis")("osmosis")
+CONDITIONERS.register("ps")("ps")
+
+
 @dataclasses.dataclass(frozen=True)
 class GuidanceConfig:
     """conditioning.params + sample_pattern surface
     (condition_methods.py:63-107, configs/*.yaml)."""
 
-    method: str = "osmosis"  # 'osmosis' | 'ps'
+    method: str = "osmosis"  # CONDITIONERS registry key: 'osmosis' | 'ps'
     scale: Tuple[float, ...] = (1.0,)
     gradient_x_prev: bool = True
     gradient_clip: bool = False
@@ -79,6 +89,7 @@ class GuidanceConfig:
             inner = aux_loss_cfg.get("aux_loss") if "aux_loss" in aux_loss_cfg else aux_loss_cfg
             if inner:
                 aux = tuple((k, float(v)) for k, v in inner.items())
+        CONDITIONERS.get(method)  # unknown names fail fast, like the reference
         return cls(
             method=method,
             scale=tuple(float(s) for s in parse_scale(params.get("scale", 1.0))),
@@ -155,6 +166,7 @@ def guided_sample_loop(
     sample_pattern: Optional[dict] = None,
     record_every: Optional[int] = None,
     deterministic: bool = False,
+    progress_every: Optional[int] = None,
 ) -> GuidedResult:
     """Run the full guided reverse process. All arrays NHWC.
 
@@ -346,6 +358,20 @@ def guided_sample_loop(
 
         if slot_map is not None:
             b_x0 = record_update(b_x0, x0, slot_map[t])
+
+        if progress_every:
+            # tqdm-postfix equivalent (gaussian_diffusion.py:276-296) as an
+            # async host callback — fires every progress_every steps without
+            # blocking the device
+            def _report(t_, loss_, phi_):
+                vals = {k: np.round(np.asarray(v)[0], 3).tolist() for k, v in phi_.items()}
+                print(f"  t={int(t_):4d} loss={np.asarray(loss_)[0]:.3f} {vals}")
+
+            jax.lax.cond(
+                t % progress_every == 0,
+                lambda: jax.debug.callback(_report, t, sep, phi),
+                lambda: None,
+            )
 
         ys = {"sep_loss": sep, "phi": phi, "aux": aux_vec}
         return (x, phi, opt_state, x0, b_x0), ys

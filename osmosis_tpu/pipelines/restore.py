@@ -91,6 +91,7 @@ def run_restoration(
     device_index: int = 0,
     model_dtype=jnp.float32,
     save_dir_override: Optional[str] = None,
+    progress_every: Optional[int] = None,
 ) -> str:
     """Run the full guided restoration over the configured dataset.
 
@@ -174,6 +175,7 @@ def run_restoration(
         return guided_sample_loop(
             model_fn, schedule, x_init, y, key, operator, gcfg, scfg,
             sample_pattern=sample_pattern, record_every=record_every,
+            progress_every=progress_every,
         )
 
     run_fn = jax.jit(_run)
