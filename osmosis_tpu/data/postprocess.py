@@ -13,6 +13,8 @@ from typing import List, Optional
 import numpy as np
 from PIL import Image
 
+from ..utils import native
+
 
 def min_max_norm_range(
     img: np.ndarray, vmin: float = 0.0, vmax: float = 1.0
@@ -33,6 +35,11 @@ def min_max_norm_range_percentile(
     percent_high: float = 1.0,
 ) -> np.ndarray:
     """Percentile clip then min-max normalize (utils.py:79-114)."""
+    out = native.percentile_minmax_norm(
+        np.asarray(img, np.float32), percent_low, percent_high, vmin, vmax
+    )
+    if out is not None:
+        return out
     lo = np.quantile(img, percent_low)
     hi = np.quantile(img, percent_high)
     clipped = np.clip(img, lo, hi)
@@ -51,11 +58,15 @@ def to_01(img: np.ndarray) -> np.ndarray:
 def depth_to_color(depth_01: np.ndarray, colormap: str = "viridis") -> np.ndarray:
     """[H,W] (or [H,W,1]) depth in [0,1] → RGB via matplotlib colormap
     (utils.py:748-763)."""
+    d = np.squeeze(depth_01)
+    assert d.ndim == 2, f"expected 2-D depth, got {d.shape}"
+    if colormap == "viridis":
+        out = native.depth_to_color(np.asarray(d, np.float32))
+        if out is not None:
+            return out
     import matplotlib
 
     cm = matplotlib.colormaps[colormap]
-    d = np.squeeze(depth_01)
-    assert d.ndim == 2, f"expected 2-D depth, got {d.shape}"
     return cm(d)[..., :3].astype(np.float32)
 
 
@@ -86,4 +97,6 @@ def save_png(img01: np.ndarray, path: str):
     if arr.ndim == 3 and arr.shape[-1] == 1:
         arr = arr[..., 0]
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    if arr.ndim == 3 and arr.shape[-1] == 3 and native.png_write_rgb8(path, arr):
+        return
     Image.fromarray(arr).save(path)

@@ -1,9 +1,10 @@
 """Preprocessing: resize small side → center crop → normalize to [-1,1].
 
 Reference builds `ToTensor → Resize(256) → CenterCrop(256²) → Normalize(.5,.5)`
-(osmosis_sampling.py:46-49). Here decode+resize run on the host via PIL
-(bilinear, the torchvision default interpolation) and the normalized NHWC
-float32 array is what gets shipped to the device.
+(osmosis_sampling.py:46-49) with torchvision's tensor-path Resize (pure
+half-pixel bilinear). The hot path here is the native C++ kernel
+(native/host_ops.cc: fused resize+crop+normalize, OpenMP); the numpy
+fallback implements the identical math.
 """
 
 from __future__ import annotations
@@ -13,15 +14,32 @@ from typing import Union
 import numpy as np
 from PIL import Image
 
+from ..utils import native
 
-def resize_small_side(img: Image.Image, size: int) -> Image.Image:
-    """torchvision Resize(size=int): scale so the SMALL side == size."""
-    w, h = img.size
+
+def _small_side_dims(h: int, w: int, size: int):
     if w <= h:
-        new_w, new_h = size, max(size, int(round(h * size / w)))
-    else:
-        new_w, new_h = max(size, int(round(w * size / h))), size
-    return img.resize((new_w, new_h), Image.BILINEAR)
+        return max(size, int(round(h * size / w))), size
+    return size, max(size, int(round(w * size / h)))
+
+
+def bilinear_resize_u8(arr: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
+    """Half-pixel-center bilinear resize, u8 [H,W,C] → f32 [new_h,new_w,C]."""
+    h, w = arr.shape[:2]
+    fy = (np.arange(new_h) + 0.5) * (h / new_h) - 0.5
+    fx = (np.arange(new_w) + 0.5) * (w / new_w) - 0.5
+    y0 = np.floor(fy).astype(int)
+    x0 = np.floor(fx).astype(int)
+    wy = (fy - y0)[:, None, None]
+    wx = (fx - x0)[None, :, None]
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    y0 = np.clip(y0, 0, h - 1)
+    x0 = np.clip(x0, 0, w - 1)
+    a = arr.astype(np.float32)
+    top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
 
 
 def center_crop(arr: np.ndarray, size: int) -> np.ndarray:
@@ -40,15 +58,27 @@ def center_crop(arr: np.ndarray, size: int) -> np.ndarray:
 
 
 def preprocess_image(img: Union[Image.Image, np.ndarray], size: int = 256) -> np.ndarray:
-    """PIL image → float32 NHW C in [-1,1], resized + center-cropped."""
-    if isinstance(img, np.ndarray):
-        img = Image.fromarray(img)
-    if img.mode != "RGB":
-        img = img.convert("RGB")
-    img = resize_small_side(img, size)
-    arr = np.asarray(img, dtype=np.float32) / 255.0
-    arr = center_crop(arr, size)
-    return arr * 2.0 - 1.0  # Normalize((0.5,)*3, (0.5,)*3)
+    """Image → float32 [size,size,3] in [-1,1], resized + center-cropped."""
+    if isinstance(img, Image.Image):
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        arr = np.asarray(img, dtype=np.uint8)
+    else:
+        arr = np.asarray(img)
+        if arr.dtype != np.uint8:
+            arr = np.clip(arr, 0, 255).astype(np.uint8)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+
+    out = native.preprocess_rgb_u8(arr, size)
+    if out is not None:
+        return out
+
+    h, w = arr.shape[:2]
+    new_h, new_w = _small_side_dims(h, w, size)
+    resized = bilinear_resize_u8(arr, new_h, new_w)
+    cropped = center_crop(resized, size)
+    return (cropped / 255.0 * 2.0 - 1.0).astype(np.float32)
 
 
 def degamma(y: np.ndarray, gamma: float = 2.2) -> np.ndarray:

@@ -41,7 +41,8 @@ def bench_variant(name, patch=None, image_size=256, batch=1, attn=(8, 16, 32)):
                 scale = self.param("scale", jax.nn.initializers.ones, (c,), jnp.float32)
                 bias = self.param("bias", jax.nn.initializers.zeros, (c,), jnp.float32)
                 return (x.astype(jnp.float32) * scale + bias).astype(x.dtype)
-            onn.GroupNorm32.__call__ = fake_gn
+            from flax import linen as _nn
+            onn.GroupNorm32.__call__ = _nn.compact(fake_gn)
         elif patch == "bf16_gn":
             def bf16_gn(self, x):
                 c = x.shape[-1]
@@ -55,7 +56,8 @@ def bench_variant(name, patch=None, image_size=256, batch=1, attn=(8, 16, 32)):
                 xg = (xg - mean) * jax.lax.rsqrt(var + 1e-5)
                 x2 = xg.reshape((x.shape[0],) + spatial + (c,))
                 return (x2 * scale + bias).astype(x.dtype)
-            onn.GroupNorm32.__call__ = bf16_gn
+            from flax import linen as _nn
+            onn.GroupNorm32.__call__ = _nn.compact(bf16_gn)
         elif patch == "no_silu":
             onn.silu = lambda x: x
 
