@@ -132,6 +132,9 @@ def build_prior_run(dtype=jnp.bfloat16, image_size=256):
 
 
 def main():
+    from osmosis_tpu.utils.compilation_cache import enable as _enable_cache
+
+    _enable_cache()
     dev = jax.devices()[0]
     log(f"device: {dev}")
 

@@ -29,6 +29,9 @@ def run_prior_sampling(
     model_dtype=jnp.float32,
     save_dir_override: Optional[str] = None,
 ) -> str:
+    from ..utils.compilation_cache import enable as _enable_cache
+
+    _enable_cache()
     args = C.arguments_from_file(config_file)
     args.image_size = args.unet_model["image_size"]
     image_size = args.image_size
@@ -47,6 +50,8 @@ def run_prior_sampling(
     logger = L.configure(out_path)
     logger.log(f"pretrained model file: {args.unet_model['model_path']}")
 
+    if args.unet_model.get("use_fp16"):
+        model_dtype = jnp.bfloat16  # TPU-native half precision
     ucfg = unet_config_from_yaml(args.unet_model, dtype=model_dtype)
     model = UNetModel(ucfg)
     params = load_unet_params(args.unet_model.get("model_path", ""), ucfg)

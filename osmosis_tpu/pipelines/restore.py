@@ -97,6 +97,9 @@ def run_restoration(
 
     Returns the run output directory.
     """
+    from ..utils.compilation_cache import enable as _enable_cache
+
+    _enable_cache()
     args = C.arguments_from_file(config_file)
     args.image_size = args.unet_model["image_size"]
     image_size = args.image_size
@@ -118,6 +121,8 @@ def run_restoration(
         dataset = D.ImagesFolder(data_config["root"], transform=transform)
 
     # model + checkpoint
+    if args.unet_model.get("use_fp16"):
+        model_dtype = jnp.bfloat16  # TPU-native half precision
     ucfg = unet_config_from_yaml(args.unet_model, dtype=model_dtype, remat=True)
     model = UNetModel(ucfg)
     params = load_unet_params(args.unet_model.get("model_path", ""), ucfg)
