@@ -1,0 +1,126 @@
+"""e2e smoke for the remaining capability presets: simulation (GT grids),
+haze (degamma + scalar phi_ab), DDIM respacing."""
+
+import os
+from os.path import join as pjoin
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+from tests.test_pipelines_e2e import DIFFUSION, PATTERN, TINY_UNET
+
+
+def _write_images(d, n=1, size=40, dtype=np.uint8, depth=False):
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(42)
+    names = []
+    for i in range(n):
+        if depth:
+            arr = rng.integers(0, 65535, (size, size), dtype=np.uint16)
+            import cv2
+
+            path = pjoin(d, f"img_{i}.png")
+            cv2.imwrite(path, arr)
+        else:
+            arr = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+            path = pjoin(d, f"img_{i}.png")
+            Image.fromarray(arr).save(path)
+        names.append(path)
+    return names
+
+
+def test_simulation_gt_pipeline(tmp_path):
+    root = str(tmp_path / "input")
+    gt_rgb = str(tmp_path / "gt_rgb")
+    gt_depth = str(tmp_path / "gt_depth")
+    _write_images(root)
+    _write_images(gt_rgb)
+    _write_images(gt_depth, depth=True)  # uint16 depth handling (data.py:93-98)
+
+    cfg = dict(
+        save_dir=str(tmp_path / "results"),
+        degamma_input=False, manual_seed=0, rgb_guidance=False,
+        save_singles=True, save_grids=True,
+        record_process=False, record_every=20,
+        sample_pattern=PATTERN, unet_model=TINY_UNET, diffusion=DIFFUSION,
+        conditioning=dict(
+            method="osmosis",
+            params=dict(
+                loss_function="norm", loss_weight="depth",
+                weight_function="gamma,1.4,1.4,1", scale="4,4,4,1",
+                gradient_x_prev=True, gradient_clip="True,0.001",
+            ),
+        ),
+        aux_loss=dict(aux_loss=dict(val_loss=40)),
+        data=dict(batch_size=1, name="simulation", root=root,
+                  gt_rgb=gt_rgb, gt_depth=gt_depth,
+                  stop_after=-1, ground_truth=True),
+        measurement=dict(
+            operator=dict(
+                name="underwater_physical", optimizer="sgd",
+                depth_type="original", value="1.4,1.4,1",
+                phi_ab="1.1,0.95,0.95", phi_ab_eta=1e-5, phi_ab_learn_flag=True,
+                phi_inf="0.2,0.4,0.7", phi_inf_eta=1e-5, phi_inf_learn_flag=True,
+            ),
+            noise=dict(name="clean"),
+        ),
+    )
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+
+    from osmosis_tpu.pipelines import run_restoration
+
+    out = run_restoration(cfg_path)
+    assert os.path.exists(pjoin(out, "single_images", "rgb", "img_0.png"))
+    # GT grid has 6 panels (3 + zeros + gt rgb + gt depth)
+    grid = np.asarray(Image.open(pjoin(out, "grid_results", "img_0_g0_grid.png")))
+    assert grid.shape[1] > 3 * 32  # 3-wide grid
+    log = open(pjoin(out, "log.txt")).read()
+    assert "phi_ab" in log
+
+
+def test_haze_degamma_ddim_pipeline(tmp_path):
+    root = str(tmp_path / "haze")
+    _write_images(root)
+    diffusion = dict(DIFFUSION, sampler="ddim", timestep_respacing="ddim10")
+    cfg = dict(
+        save_dir=str(tmp_path / "results"),
+        degamma_input=True, manual_seed=0, rgb_guidance=False,
+        save_singles=True, save_grids=False,
+        record_process=False, record_every=20,
+        sample_pattern=dict(PATTERN, n_iter=2),
+        unet_model=TINY_UNET, diffusion=diffusion,
+        conditioning=dict(
+            method="osmosis",
+            params=dict(
+                loss_function="mse", loss_weight="none",
+                weight_function="gamma,1.4,1.4,1", scale="7,7,7,0.9",
+                gradient_x_prev=True, gradient_clip="True,0.005",
+            ),
+        ),
+        aux_loss=dict(aux_loss=dict(avrg_loss=0.5, val_loss=20)),
+        data=dict(batch_size=1, name="haze", root=root,
+                  stop_after=-1, ground_truth=False),
+        measurement=dict(
+            operator=dict(
+                name="haze_physical", optimizer="sgd",
+                depth_type="gamma", value="1.4,1.4,1",
+                phi_inf="0.14, 0.29, 0.49", phi_inf_eta=1e-5, phi_inf_learn_flag=True,
+                phi_ab=1.0, phi_ab_eta=1e-5, phi_ab_learn_flag=True,
+            ),
+            noise=dict(name="clean"),
+        ),
+    )
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+
+    from osmosis_tpu.pipelines import run_restoration
+
+    out = run_restoration(cfg_path)
+    assert os.path.exists(pjoin(out, "single_images", "rgb", "img_0.png"))
+    log = open(pjoin(out, "log.txt")).read()
+    assert "phi_ab" in log and "phi_inf" in log
