@@ -15,6 +15,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from osmosis_tpu.utils.compilation_cache import enable as _enable_cache
+
+_enable_cache()
+
 
 def timeit(fn, *args, iters=3):
     out = fn(*args)
