@@ -50,7 +50,7 @@ def build_guided_run(dtype=jnp.bfloat16, n_iter=20, image_size=256):
         num_res_blocks=2, attention_resolutions=(8, 16, 32),
         channel_mult=(1, 1, 2, 2, 4, 4), num_head_channels=64,
         use_scale_shift_norm=True, resblock_updown=True,
-        dtype=dtype, remat=True,
+        dtype=dtype, remat=False,
     )
     model = UNetModel(cfg)
     params = jax.jit(model.init)(

@@ -159,6 +159,22 @@ def load_params_msgpack(path: str) -> Dict[str, Any]:
         return serialization.msgpack_restore(f.read())
 
 
+def save_params_orbax(params: Dict[str, Any], path: str):
+    """Orbax checkpoint directory (sharding-aware, async-capable)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_params_orbax(path: str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
 def load_unet_params(model_path: str, cfg: UNetConfig, rng_seed: int = 0):
     """Checkpoint loader with the reference's random-init fallback
     (unet.py:94-98). Accepts .pt (torch pickle) or .msgpack (native)."""
@@ -170,6 +186,12 @@ def load_unet_params(model_path: str, cfg: UNetConfig, rng_seed: int = 0):
     try:
         if model_path and model_path.endswith(".msgpack"):
             return load_params_msgpack(model_path)
+        if model_path and (
+            model_path.endswith(".orbax")
+            or os.path.isdir(os.path.join(model_path, ""))
+            and os.path.exists(os.path.join(model_path, "_CHECKPOINT_METADATA"))
+        ):
+            return load_params_orbax(model_path)
         if model_path and os.path.exists(model_path):
             return convert_state_dict(load_torch_state_dict(model_path), cfg)
         raise FileNotFoundError(model_path)

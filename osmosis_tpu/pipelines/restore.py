@@ -123,7 +123,12 @@ def run_restoration(
     # model + checkpoint
     if args.unet_model.get("use_fp16"):
         model_dtype = jnp.bfloat16  # TPU-native half precision
-    ucfg = unet_config_from_yaml(args.unet_model, dtype=model_dtype, remat=True)
+    # remat off: batch-1 256px guided activations fit v5e HBM and the
+    # backward runs ~13% faster (PERF.md); use_checkpoint: True re-enables it
+    ucfg = unet_config_from_yaml(
+        args.unet_model, dtype=model_dtype,
+        remat=bool(args.unet_model.get("use_checkpoint", False)),
+    )
     model = UNetModel(ucfg)
     params = load_unet_params(args.unet_model.get("model_path", ""), ucfg)
     params = jax.device_put(params, device)

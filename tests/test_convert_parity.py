@@ -169,3 +169,25 @@ def test_msgpack_roundtrip(tmp_path):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_orbax_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from osmosis_tpu.models import UNetModel
+    from osmosis_tpu.models.convert import load_params_orbax, save_params_orbax
+
+    cfg = _flax_cfg()
+    model = UNetModel(cfg)
+    params = model.init(
+        jax.random.key(1), jnp.zeros((1, 32, 32, 4)), jnp.zeros((1,))
+    )
+    d = str(tmp_path / "ck.orbax")
+    save_params_orbax(params, d)
+    restored = load_params_orbax(d)
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(restored)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
