@@ -175,6 +175,23 @@ def load_params_orbax(path: str) -> Dict[str, Any]:
     return ckptr.restore(os.path.abspath(path))
 
 
+def cast_params_half(params: Dict[str, Any], dtype=None) -> Dict[str, Any]:
+    """Cast weights to bfloat16 for HBM-bandwidth savings, keeping every
+    GroupNorm scale/bias in fp32 (they participate in the fp32 islands)."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.bfloat16
+
+    def cast(path, leaf):
+        keys = [getattr(p, "key", "") for p in path]
+        if any("norm" in str(k) for k in keys):
+            return leaf
+        return leaf.astype(dtype)
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
 def load_unet_params(model_path: str, cfg: UNetConfig, rng_seed: int = 0):
     """Checkpoint loader with the reference's random-init fallback
     (unet.py:94-98). Accepts .pt (torch pickle) or .msgpack (native)."""

@@ -29,7 +29,7 @@ from ..diffusion.sampler import SamplerConfig
 from ..diffusion.schedules import make_schedule
 from ..guidance.noise import get_noiser
 from ..guidance.operators import convert_depth, get_operator
-from ..models.convert import load_unet_params
+from ..models.convert import cast_params_half, load_unet_params
 from ..models.unet import UNetModel, unet_config_from_yaml
 from ..utils import logging as L
 from ..utils import profiling as prof
@@ -131,6 +131,10 @@ def run_restoration(
     )
     model = UNetModel(ucfg)
     params = load_unet_params(args.unet_model.get("model_path", ""), ucfg)
+    if ucfg.dtype == jnp.bfloat16:
+        # bf16 weight storage halves per-step HBM weight reads; GroupNorm
+        # affine params stay fp32 (fp32 islands)
+        params = cast_params_half(params)
     params = jax.device_put(params, device)
 
     measure_config = args.measurement
@@ -190,6 +194,20 @@ def run_restoration(
 
     run_fn = jax.jit(_run)
 
+    # fleet mode: batch_size > 1 vmaps the batch-1 guided loop over image
+    # stacks — exact per-image semantics (independent phi/losses), one MXU
+    # batch dimension, dp-shardable on multi-chip meshes
+    fleet_size = batch_size if batch_size and batch_size > 1 else 1
+    if fleet_size > 1:
+        from ..guidance.operators import get_operator as _get_op
+        from ..parallel.runner import make_batched_guided_runner
+
+        fleet_operator = _get_op(operator_name, batch_size=1, **op_kwargs)
+        fleet_run = make_batched_guided_runner(
+            model.apply, schedule, fleet_operator, gcfg, scfg,
+            sample_pattern=sample_pattern, record_every=record_every,
+        )
+
     global_N = 1
     if sample_pattern["pattern"] == "pcgs":
         global_N = sample_pattern.get("global_N", 1)
@@ -199,6 +217,16 @@ def run_restoration(
     stop_after = data_config.get("stop_after", -1)
 
     resume = bool(getattr(args, "resume", False))
+
+    if fleet_size > 1:
+        _run_fleet(
+            args, dataset, paths, fleet_run, params, operator, measure_config,
+            logger, gt_flag, image_size, fleet_size, stop_after, noiser,
+            record_every, rgb_guidance,
+        )
+        logger.log(prof.TIMERS.summary())
+        logger.close()
+        return out_path
 
     for i, (ref_img, ref_img_name) in enumerate(dataset):
         if i == stop_after:
@@ -380,3 +408,69 @@ def _save_rgb_guidance_outputs(args, paths, orig_name, ref_img, sample, logger):
         P.save_png(grid, pjoin(paths["grids"], f"{orig_name}.png"))
     if args.save_singles or args.save_grids:
         logger.log(f"result images was saved into: {paths['out']}")
+
+
+def _run_fleet(
+    args, dataset, paths, fleet_run, params, operator, measure_config, logger,
+    gt_flag, image_size, fleet_size, stop_after, noiser, record_every,
+    rgb_guidance,
+):
+    """Batched fleet execution: chunks of `batch_size` images through the
+    vmapped guided loop (exact batch-1 semantics per image). The reference
+    only nominally supports batch>1 (SURVEY.md section 2.7); here it is a
+    first-class throughput mode."""
+    items = []
+    for i, (ref_img, ref_img_name) in enumerate(dataset):
+        if i == stop_after:
+            break
+        if gt_flag:
+            ref_img = ref_img[0]
+        items.append((ref_img, ref_img_name))
+
+    key = jax.random.key(args.manual_seed)
+    x_one = jax.random.normal(
+        jax.random.fold_in(key, 0), (image_size, image_size, 4)
+    )
+    run_key = jax.random.fold_in(key, 1)
+
+    for c0 in range(0, len(items), fleet_size):
+        chunk = items[c0 : c0 + fleet_size]
+        n_real = len(chunk)
+        while len(chunk) < fleet_size:  # pad the tail chunk
+            chunk.append(chunk[-1])
+        start_time = datetime.datetime.now()
+        ys = np.stack([im for im, _ in chunk])
+        if getattr(args, "degamma_input", False):
+            ys = TR.degamma(ys)
+        ys = jnp.asarray(noiser(jnp.asarray(ys), key=jax.random.fold_in(key, 2)))
+        xs = jnp.broadcast_to(x_one, (fleet_size,) + x_one.shape)
+        keys = jnp.broadcast_to(run_key, (fleet_size,) + run_key.shape)
+
+        with prof.phase("fleet_sample"):
+            res = fleet_run(params, xs, ys, keys)
+            res = jax.tree_util.tree_map(np.asarray, res)
+
+        with prof.phase("fleet_save"):
+            for j in range(n_real):
+                ref_img, name = chunk[j]
+                orig_name = os.path.splitext(name)[0]
+                res_j = jax.tree_util.tree_map(lambda a: a[j], res)
+                if rgb_guidance:
+                    _save_rgb_guidance_outputs(
+                        args, paths, orig_name, ref_img,
+                        np.asarray(res_j.sample)[0], logger,
+                    )
+                else:
+                    _save_osmosis_outputs(
+                        args, paths, orig_name, 0, ref_img, res_j, operator,
+                        measure_config, logger, gt=None,
+                    )
+                if record_every is not None and paths["grids"] is not None:
+                    _save_process_grid(
+                        res_j.snapshots,
+                        pjoin(paths["grids"], f"{orig_name}_process.png"),
+                    )
+        logger.log(
+            f"fleet chunk {c0 // fleet_size}: {n_real} images in "
+            f"{datetime.datetime.now() - start_time}"
+        )

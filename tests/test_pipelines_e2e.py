@@ -203,3 +203,49 @@ def test_shipped_configs_parse():
                 k: v for k, v in args.measurement["operator"].items() if k != "name"
             }
             op = get_operator(args.measurement["operator"]["name"], **op_kwargs)
+
+
+def test_fleet_batched_pipeline(tmp_path):
+    """batch_size > 1 routes through the vmapped fleet runner; every image
+    still gets its own outputs (incl. the padded tail chunk)."""
+    d = str(tmp_path / "imgs")
+    _write_images(d, n=3)
+    cfg = dict(
+        save_dir=str(tmp_path / "results"),
+        degamma_input=False, manual_seed=0, rgb_guidance=False,
+        save_singles=True, save_grids=False,
+        record_process=False, record_every=20,
+        sample_pattern=PATTERN, unet_model=TINY_UNET, diffusion=DIFFUSION,
+        conditioning=dict(
+            method="osmosis",
+            params=dict(
+                loss_function="norm", loss_weight="depth",
+                weight_function="gamma,1.4,1.4,1", scale="7,7,7,0.9",
+                gradient_x_prev=True, gradient_clip="True,0.005",
+            ),
+        ),
+        aux_loss=dict(aux_loss=dict(avrg_loss=0.5, val_loss=20)),
+        data=dict(batch_size=2, name="fleet", root=d,
+                  stop_after=-1, ground_truth=False),
+        measurement=dict(
+            operator=dict(
+                name="underwater_physical_revised", optimizer="sgd",
+                depth_type="gamma", value="1.4,1.4,1",
+                phi_a="1.1,0.95,0.95", phi_a_eta=1e-5, phi_a_learn_flag=True,
+                phi_b="0.95, 0.8, 0.8", phi_b_eta=1e-5, phi_b_learn_flag=True,
+                phi_inf="0.14, 0.29, 0.49", phi_inf_eta=1e-5, phi_inf_learn_flag=True,
+            ),
+            noise=dict(name="clean"),
+        ),
+    )
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+
+    from osmosis_tpu.pipelines import run_restoration
+
+    out = run_restoration(cfg_path)
+    for i in range(3):
+        assert os.path.exists(pjoin(out, "single_images", "rgb", f"img_{i}.png")), i
+    log = open(pjoin(out, "log.txt")).read()
+    assert "fleet chunk" in log
