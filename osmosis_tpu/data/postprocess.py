@@ -8,7 +8,7 @@ osmosis_sampling.py:338-353). All functions take NHWC / HWC float arrays.
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 from PIL import Image

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import datetime
 import os
-import time
 from functools import partial
 from os.path import join as pjoin
 from typing import Optional
