@@ -39,9 +39,11 @@ def _attention_ref(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32) * scale
-    v = v_ref[0]
+    # blocks are [1, T, 1, hc] slices of the [B, T, H, hc] inputs —
+    # no host-side transposes, the DMA gathers the head slice directly
+    q = q_ref[0, :, 0, :].astype(jnp.float32) * scale
+    k = k_ref[0, :, 0, :].astype(jnp.float32) * scale
+    v = v_ref[0, :, 0, :]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -52,31 +54,27 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
         w.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0] = o.astype(o_ref.dtype)
+    o_ref[0, :, 0, :] = o.astype(o_ref.dtype)
 
 
 def _pallas_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     b, t, h, hc = q.shape
     scale = float(1.0 / (hc ** 0.25))
-    # [B, T, H, hc] → [B*H, T, hc]
-    def to_heads(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * h, t, hc)
-
-    qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
-    spec = pl.BlockSpec((1, t, hc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    spec = pl.BlockSpec(
+        (1, t, 1, hc), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
-        grid=(b * h,),
+        grid=(b, h),
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b * h, t, hc), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, t, h, hc), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * h * t * t * hc,
             bytes_accessed=4 * b * h * t * hc * 4,
             transcendentals=b * h * t * t,
         ),
-    )(qh, kh, vh)
-    return out.reshape(b, h, t, hc).transpose(0, 2, 1, 3)
+    )(q, k, v)
 
 
 @jax.custom_vjp
