@@ -173,6 +173,19 @@ def guided_sample_loop(
     ``deterministic=True`` zeroes every injected noise draw — a debugging /
     exact-parity mode (the chain then follows posterior means only).
     """
+    if progress_every:
+        # the axon PJRT relay has no host send/recv support — degrade to
+        # silent sampling rather than failing the whole chain
+        try:
+            if jax.devices()[0].platform == "axon":
+                print(
+                    "[osmosis_tpu] progress callbacks unsupported on this "
+                    "platform; continuing without live progress"
+                )
+                progress_every = None
+        except Exception:
+            pass
+
     T = schedule.num_timesteps
     B = x_init.shape[0]
     consts = {k: jnp.asarray(v) for k, v in schedule.device_constants().items()}
