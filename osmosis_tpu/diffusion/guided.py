@@ -177,7 +177,8 @@ def guided_sample_loop(
         # the axon PJRT relay has no host send/recv support — degrade to
         # silent sampling rather than failing the whole chain
         try:
-            if jax.devices()[0].platform == "axon":
+            version = getattr(jax.devices()[0].client, "platform_version", "")
+            if "axon" in str(version):
                 print(
                     "[osmosis_tpu] progress callbacks unsupported on this "
                     "platform; continuing without live progress"
