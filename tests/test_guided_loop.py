@@ -208,3 +208,46 @@ def test_guided_loop_stochastic_shapes_and_telemetry():
     # snapshots: steps 40, 20, 0 plus T-1=49
     assert res.snapshots["steps"] == (49, 40, 20, 0)
     assert np.isfinite(np.asarray(res.snapshots["x0_hat"])).all()
+
+
+def test_guidance_and_freeze_windows():
+    """Pattern with start/stop guidance windows exercises the lax.cond
+    plain/guided branches; phi must only move inside the update window."""
+    pattern = dict(
+        pattern="pcgs", update_start=0.5, update_end=0.2, global_N=1, local_M=1,
+        s_start=1, s_end=0, n_iter=2, start_guidance=0.8, stop_guidance=0.1,
+    )
+    sch = make_schedule("linear", T_STEPS)
+    op = get_operator("underwater_physical_revised", batch_size=1, **OP_KW)
+    gcfg = GuidanceConfig.from_config(
+        "osmosis", COND_PARAMS, pattern,
+        {"aux_loss": {"avrg_loss": 0.5, "val_loss": 20.0}},
+    )
+    rng = np.random.default_rng(5)
+    x0 = rng.standard_normal((1, HW, HW, 4)).astype(np.float32)
+    y = rng.uniform(-1, 1, (1, HW, HW, 3)).astype(np.float32)
+    res = guided_sample_loop(
+        _fake_model_jax, sch, jnp.asarray(x0), jnp.asarray(y),
+        jax.random.key(6), op, gcfg, SamplerConfig(clip_denoised=True),
+        sample_pattern=pattern,
+    )
+    # trace rows are emitted in scan order: row r corresponds to t = T-1-r
+    phi_a = np.asarray(res.phi_trace["phi_a"])[:, 0, :]  # [T, 3]
+    init = np.array([1.1, 0.95, 0.95], np.float32)
+    t_of_row = lambda r: T_STEPS - 1 - r
+    for r in range(T_STEPS):
+        t = t_of_row(r)
+        if t > 0.5 * T_STEPS or t < 0.2 * T_STEPS:
+            prev = init if r == 0 else phi_a[r - 1]
+            np.testing.assert_allclose(phi_a[r], prev, atol=0,
+                                       err_msg=f"phi moved at frozen t={t}")
+    # inside the update window it must have moved
+    assert np.abs(phi_a[-1] - init).max() > 1e-7
+    # unguided steps log zero loss
+    sep = np.asarray(res.sep_loss)[:, 0]
+    for r in range(T_STEPS):
+        t = t_of_row(r)
+        if t > 0.8 * T_STEPS or t < 0.1 * T_STEPS:
+            assert sep[r] == 0.0, f"loss nonzero at unguided t={t}"
+        else:
+            assert sep[r] > 0.0, f"loss zero at guided t={t}"
