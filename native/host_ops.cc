@@ -88,6 +88,10 @@ static double quantile_sorted(const std::vector<float>& sorted, double q) {
 void percentile_minmax_norm(const float* src, int n, float p_low, float p_high,
                             float vmin, float vmax, float* dst) {
   std::vector<float> sorted(src, src + n);
+  // NaN-safe: treat NaN as 0 so std::sort stays well-ordered and the
+  // output remains finite (matches "degenerate input -> zeros" behavior)
+  for (auto& v : sorted)
+    if (!(v == v)) v = 0.f;
   std::sort(sorted.begin(), sorted.end());
   const float lo = (float)quantile_sorted(sorted, p_low);
   const float hi = (float)quantile_sorted(sorted, p_high);
@@ -103,7 +107,8 @@ void percentile_minmax_norm(const float* src, int n, float p_low, float p_high,
 #pragma omp parallel for schedule(static)
   for (int i = 0; i < n; ++i) {
     float v = src[i];
-    v = v < lo ? lo : (v > hi ? hi : v);
+    if (!(v >= lo)) v = lo;       // NaN-safe lower clamp
+    else if (v > hi) v = hi;
     dst[i] = (v - cmin) * scale + vmin;
   }
 }
@@ -117,7 +122,10 @@ void apply_colormap_lut(const float* gray, int n, const float* lut256,
 #pragma omp parallel for schedule(static)
   for (int i = 0; i < n; ++i) {
     float g = gray[i];
-    g = g < 0.f ? 0.f : (g > 1.f ? 1.f : g);
+    // NaN-safe clamp: !(g >= 0) catches NaN as well as negatives —
+    // (int)(NaN * 256) is UB and indexes out of bounds otherwise
+    if (!(g >= 0.f)) g = 0.f;
+    else if (g > 1.f) g = 1.f;
     const int idx = std::min((int)(g * 256.0f), 255);
     rgb[i * 3 + 0] = lut256[idx * 3 + 0];
     rgb[i * 3 + 1] = lut256[idx * 3 + 1];

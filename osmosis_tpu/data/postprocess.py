@@ -93,7 +93,7 @@ def make_grid(
 
 def save_png(img01: np.ndarray, path: str):
     """HWC (or HW) float [0,1] → 8-bit PNG."""
-    arr = (np.clip(img01, 0.0, 1.0) * 255.0).round().astype(np.uint8)
+    arr = (np.clip(np.nan_to_num(img01), 0.0, 1.0) * 255.0).round().astype(np.uint8)
     if arr.ndim == 3 and arr.shape[-1] == 1:
         arr = arr[..., 0]
     os.makedirs(os.path.dirname(path), exist_ok=True)

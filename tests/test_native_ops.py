@@ -65,3 +65,14 @@ def test_save_png_uses_native(tmp_path):
     save_png(img01, p)
     back = np.asarray(Image.open(p).convert("RGB"))
     np.testing.assert_array_equal(back, (img01 * 255).round().astype(np.uint8))
+
+
+def test_nan_inputs_are_safe():
+    """NaN depth maps (divergent random-init chains) must not crash or
+    propagate NaN through the native postprocessing path."""
+    g = np.array([0.1, np.nan, 2.0, -1.0, 0.9], np.float32)
+    c = native.depth_to_color(g)
+    assert np.isfinite(c).all()
+    x = np.array([1.0, np.nan, 3.0, 2.0] * 50, np.float32)
+    pn = native.percentile_minmax_norm(x, 0.05, 0.99)
+    assert np.isfinite(pn).all()
