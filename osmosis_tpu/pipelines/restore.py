@@ -296,6 +296,12 @@ def _save_osmosis_outputs(
     """osmosis_sampling.py:204-358: split rgb/depth, physical recomposition,
     phi logging, singles + grid saving."""
     x0 = np.asarray(res.pred_xstart)[0]  # [H,W,4]
+    if not np.isfinite(x0).all():
+        logger.log(
+            "WARNING: non-finite outputs — the chain diverged. This is "
+            "expected when sampling with randomly initialized weights "
+            "(no checkpoint at unet_model.model_path)."
+        )
     sample_rgb = x0[..., 0:3]
     sample_depth = x0[..., 3]
 
