@@ -17,3 +17,24 @@ Layer map mirrors SURVEY.md section 1 of this repo.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax for config-only use)."""
+    if name in ("run_restoration", "run_prior_sampling"):
+        from . import pipelines
+
+        return getattr(pipelines, name)
+    if name in ("UNetModel", "UNetConfig", "unet_config_from_yaml"):
+        from . import models
+
+        return getattr(models, name)
+    if name in ("make_schedule", "SamplerConfig", "sample_loop"):
+        from .diffusion import sampler, schedules
+
+        return getattr(schedules, name, None) or getattr(sampler, name)
+    if name in ("GuidanceConfig", "guided_sample_loop"):
+        from .diffusion import guided
+
+        return getattr(guided, name)
+    raise AttributeError(name)
