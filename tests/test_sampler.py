@@ -199,3 +199,40 @@ def test_prior_offset_and_window():
         S.SamplerConfig(model_var_type="fixed_small"), timestep_offset=1.0,
     )
     assert seen[0] == 8.0
+
+
+def test_previous_x_and_dynamic_threshold_parity():
+    """previous_x mean processor (posterior_mean_variance.py:53-72) and
+    dynamic thresholding (util/img_utils.py:9-15) vs the reference."""
+    import torch
+
+    create_sampler = _import_reference()
+    x = np.random.default_rng(4).standard_normal((1, 4, 8, 8)).astype(np.float32)
+
+    for mean_type, dyn in [("previous_x", False), ("epsilon", True)]:
+        ref = create_sampler(
+            sampler="ddpm", steps=50, noise_schedule="linear",
+            model_mean_type=mean_type, model_var_type="learned_range",
+            dynamic_threshold=dyn, clip_denoised=False,
+            rescale_timesteps=False, timestep_respacing=50,
+        )
+        sch = make_schedule("linear", 50)
+        consts = {k: jnp.asarray(v) for k, v in sch.device_constants().items()}
+        cfg = S.SamplerConfig(model_mean_type=mean_type, dynamic_threshold=dyn)
+        t = 25
+        out_ref = ref.p_mean_variance(
+            model=_fake_model_torch, x=torch.from_numpy(x), t=torch.tensor([t])
+        )
+        out = S.p_mean_variance(
+            _fake_model_jax, jnp.asarray(x.transpose(0, 2, 3, 1)),
+            jnp.array([t]), consts, cfg,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["pred_xstart"]).transpose(0, 3, 1, 2),
+            out_ref["pred_xstart"].numpy(), rtol=2e-5, atol=1e-5,
+            err_msg=f"{mean_type} dyn={dyn}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["mean"]).transpose(0, 3, 1, 2),
+            out_ref["mean"].numpy(), rtol=2e-5, atol=1e-5,
+        )
