@@ -420,19 +420,31 @@ def precompute_film_tables(cfg: UNetConfig, params, model_timesteps):
     return tables
 
 
+def gather_film(tables, model_timesteps, t_float):
+    """Pick each block's FiLM row for (float) model timestep t_float[0]."""
+    mt = jnp.asarray(model_timesteps)
+    idx = jnp.clip(jnp.searchsorted(mt, t_float[0]), 0, mt.shape[0] - 1)
+    return {name: tab[idx][None] for name, tab in tables.items()}
+
+
 def make_film_model_fn(model: "UNetModel", params, model_timesteps,
-                       timestep_offset: float = 0.0):
+                       timestep_offset: float = 0.0, tables=None):
     """model_fn(x, t_float) that gathers precomputed FiLM rows by timestep.
 
     `model_timesteps` must be the same table the sampler feeds the model
     (DiffusionSchedule.model_timesteps() + offset).
+
+    IMPORTANT for jit users: pass `params` AND `tables` into your jitted
+    function as ARGUMENTS and build the closure inside — tables captured as
+    closure constants get baked into the HLO (~150 MB for the production
+    model) and can exceed compile-service request limits.
     """
     mt = jnp.asarray(model_timesteps) + timestep_offset
-    tables = precompute_film_tables(model.cfg, params, mt)
+    if tables is None:
+        tables = precompute_film_tables(model.cfg, params, mt)
 
     def model_fn(x, t_float):
-        idx = jnp.clip(jnp.searchsorted(mt, t_float[0]), 0, mt.shape[0] - 1)
-        film = {name: tab[idx][None] for name, tab in tables.items()}
+        film = gather_film(tables, mt, t_float)
         return model.apply(params, x, t_float, film=film)
 
     return model_fn
