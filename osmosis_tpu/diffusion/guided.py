@@ -71,7 +71,12 @@ class GuidanceConfig:
 
     method: str = "osmosis"  # CONDITIONERS registry key: 'osmosis' | 'ps'
     scale: Tuple[float, ...] = (1.0,)
-    gradient_x_prev: bool = True
+    # default False matches from_config and the reference
+    # (condition_methods.py:75 — params.get('gradient_x_prev', False))
+    gradient_x_prev: bool = False
+    # noise-model name the 'ps' conditioner branches on
+    # (condition_methods.py:36-48: 'gaussian' | 'poisson', else NotImplemented)
+    noiser_name: str = "gaussian"
     gradient_clip: bool = False
     gradient_clip_value: float = 0.0
     loss_function: str = "norm"  # 'norm' | 'mse'
@@ -82,7 +87,8 @@ class GuidanceConfig:
 
     @classmethod
     def from_config(cls, method: str, params: dict, sample_pattern: dict,
-                    aux_loss_cfg: Optional[dict]) -> "GuidanceConfig":
+                    aux_loss_cfg: Optional[dict],
+                    noiser_name: str = "gaussian") -> "GuidanceConfig":
         clip_on, clip_val = parse_gradient_clip(params.get("gradient_clip", "False"))
         aux = ()
         if aux_loss_cfg:
@@ -101,6 +107,7 @@ class GuidanceConfig:
             weight_function=params.get("weight_function"),
             n_iter=int((sample_pattern or {}).get("n_iter", 1)),
             aux_loss=aux,
+            noiser_name=noiser_name,
         )
 
 
@@ -112,6 +119,10 @@ class GuidedResult:
     sep_loss: jax.Array        # [T, B] per-image guidance loss trace
     phi_trace: Dict[str, jax.Array]  # [T, B, C]
     aux_trace: Dict[str, jax.Array]  # [T]
+    # final phi-optimizer state — thread back in as opt_state_init for
+    # global_N>1 warm starts (the operator outlives the global loop in the
+    # reference, osmosis_sampling.py:146-163 vs :191)
+    opt_state: Optional[dict] = None
     x0_snapshots: Optional[jax.Array] = None  # [K, B, H, W, 4]
     snapshot_steps: Tuple[int, ...] = ()      # static: timestep of each slot
 
@@ -126,7 +137,7 @@ jax.tree_util.register_dataclass(
     GuidedResult,
     data_fields=[
         "sample", "pred_xstart", "phi", "sep_loss", "phi_trace", "aux_trace",
-        "x0_snapshots",
+        "opt_state", "x0_snapshots",
     ],
     meta_fields=["snapshot_steps"],
 )
@@ -167,11 +178,19 @@ def guided_sample_loop(
     record_every: Optional[int] = None,
     deterministic: bool = False,
     progress_every: Optional[int] = None,
+    phi_init: Optional[Dict[str, jax.Array]] = None,
+    opt_state_init: Optional[dict] = None,
 ) -> GuidedResult:
     """Run the full guided reverse process. All arrays NHWC.
 
     ``deterministic=True`` zeroes every injected noise draw — a debugging /
     exact-parity mode (the chain then follows posterior means only).
+
+    ``phi_init``/``opt_state_init`` warm-start the water parameters and their
+    optimizer state — used by global_N>1 pcgs restarts, where the reference
+    keeps the operator (and thus its optimized phi) alive across global
+    iterations (osmosis_sampling.py:146-163 outside the :191 loop). When
+    omitted, phi starts from the operator's configured inits.
     """
     if progress_every:
         # the axon PJRT relay has no host send/recv support — degrade to
@@ -206,9 +225,15 @@ def guided_sample_loop(
     else:
         scale_bc = jnp.asarray(scale).reshape(1, 1, 1, -1)
 
-    phi0 = {k: jnp.asarray(v) for k, v in operator.phi_init().items()}
+    if phi_init is not None:
+        phi0 = {k: jnp.asarray(v) for k, v in phi_init.items()}
+    else:
+        phi0 = {k: jnp.asarray(v) for k, v in operator.phi_init().items()}
     opt = make_phi_optimizer(operator.optimizer, operator.etas())
-    opt_state0 = opt.init(phi0)
+    if opt_state_init is not None:
+        opt_state0 = jax.tree_util.tree_map(jnp.asarray, opt_state_init)
+    else:
+        opt_state0 = opt.init(phi0)
     y = measurement
 
     # ---- loss on x0-hat (condition_methods.py:109-144) -------------------
@@ -314,10 +339,25 @@ def guided_sample_loop(
         else:
             sample = ddpm_noise_step(out, tb, k)
 
-        # ‖y − A(x0[...,:3])‖ with identity A (condition_methods.py:35-41)
-        def loss_fn(x0_):
-            diff = y - operator.forward({}, x0_[..., 0:3])
-            return jnp.sqrt(jnp.sum(diff.astype(jnp.float32) ** 2))
+        # base-class grad_and_value (condition_methods.py:35-53) — branch on
+        # the noise model exactly like the reference:
+        if gcfg.noiser_name == "gaussian":
+            # ‖y − A(x0[...,:3])‖ with identity A (condition_methods.py:38-40)
+            def loss_fn(x0_):
+                diff = y - operator.forward({}, x0_[..., 0:3])
+                return jnp.sqrt(jnp.sum(diff.astype(jnp.float32) ** 2))
+        elif gcfg.noiser_name == "poisson":
+            # mean(‖y − A(x0)‖ / |y|) over the FULL x0 (condition_methods.py:
+            # 43-48 — note: no RGB slice in the reference's poisson branch)
+            def loss_fn(x0_):
+                diff = y - operator.forward({}, x0_)
+                norm = jnp.sqrt(jnp.sum(diff.astype(jnp.float32) ** 2))
+                return jnp.mean(norm / jnp.abs(y.astype(jnp.float32)))
+        else:
+            # 'clean' etc. raise in the reference too (condition_methods.py:50)
+            raise NotImplementedError(
+                f"'ps' conditioning does not support noiser '{gcfg.noiser_name}'"
+            )
 
         loss, g_x0 = jax.value_and_grad(loss_fn)(x0)
         g_x = vjp_fn((g_x0, jnp.zeros_like(v)))[0]
@@ -392,7 +432,7 @@ def guided_sample_loop(
 
     ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
     carry0 = (x_init, phi0, opt_state0, jnp.zeros_like(x_init), buf_x0)
-    (x, phi, _, x0_final, buf_x0), ys = jax.lax.scan(step, carry0, ts)
+    (x, phi, opt_state, x0_final, buf_x0), ys = jax.lax.scan(step, carry0, ts)
 
     return GuidedResult(
         sample=x,
@@ -401,6 +441,7 @@ def guided_sample_loop(
         sep_loss=ys["sep_loss"],
         phi_trace=ys["phi"],
         aux_trace=ys["aux"],
+        opt_state=opt_state,
         x0_snapshots=buf_x0,
         snapshot_steps=tuple(rec_steps),
     )

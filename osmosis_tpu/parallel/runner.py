@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
 from ..diffusion.guided import GuidanceConfig, guided_sample_loop
 from ..diffusion.sampler import SamplerConfig
@@ -31,28 +32,52 @@ def make_batched_guided_runner(
     record_every: Optional[int] = None,
     mesh=None,
 ):
-    """Returns jit(fn)(params, xs, ys, keys) where xs: [N,H,W,4], ys: [N,H,W,3],
-    keys: [N] PRNG keys. Output pytree has a leading N axis; each element is
-    bit-identical in semantics to an independent batch-1 guided run."""
+    """Returns jit(fn)(params, xs, ys, keys, phi0s, opt0s) where xs: [N,H,W,4],
+    ys: [N,H,W,3], keys: [N] PRNG keys, and phi0s/opt0s are per-image warm-start
+    pytrees with a leading N axis (stack ``operator.phi_init()`` for cold
+    starts; feed the previous global iteration's ``res.phi``/``res.opt_state``
+    for global_N>1 — see guided_sample_loop). Output pytree has a leading N
+    axis; each element is bit-identical in semantics to an independent
+    batch-1 guided run."""
 
-    def one(params, x, y, key):
+    def one(params, x, y, key, phi0, opt0):
         def model_fn(xx, tt):
             return model_apply(params, xx, tt)
 
         return guided_sample_loop(
             model_fn, schedule, x[None], y[None], key, operator, gcfg, scfg,
             sample_pattern=sample_pattern, record_every=record_every,
+            phi_init=phi0, opt_state_init=opt0,
         )
 
-    batched = jax.vmap(one, in_axes=(None, 0, 0, 0))
+    batched = jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0))
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        def run(params, xs, ys, keys):
+        def _sharded(params, xs, ys, keys, phi0s, opt0s):
             xs = jax.lax.with_sharding_constraint(xs, NamedSharding(mesh, P("dp")))
             ys = jax.lax.with_sharding_constraint(ys, NamedSharding(mesh, P("dp")))
-            return batched(params, xs, ys, keys)
+            return batched(params, xs, ys, keys, phi0s, opt0s)
 
-        return jax.jit(run)
-    return jax.jit(batched)
+        jitted = jax.jit(_sharded)
+    else:
+        jitted = jax.jit(batched)
+
+    from ..guidance.phi_optim import make_phi_optimizer
+
+    def run(params, xs, ys, keys, phi0s=None, opt0s=None):
+        n = xs.shape[0]
+        if phi0s is None:
+            phi1 = {k: jnp.asarray(v) for k, v in operator.phi_init().items()}
+            phi0s = jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(a, (n,) + a.shape), phi1
+            )
+            if opt0s is None:
+                opt1 = make_phi_optimizer(operator.optimizer, operator.etas()).init(phi1)
+                opt0s = jax.tree_util.tree_map(
+                    lambda a: jnp.broadcast_to(a, (n,) + a.shape), opt1
+                )
+        return jitted(params, xs, ys, keys, phi0s, opt0s)
+
+    return run

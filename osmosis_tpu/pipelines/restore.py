@@ -141,11 +141,14 @@ def run_restoration(
     sample_pattern = args.sample_pattern
     rgb_guidance = bool(getattr(args, "rgb_guidance", False))
 
-    # output directory contract (osmosis_sampling.py:76-105)
+    resume = bool(getattr(args, "resume", False))
+
+    # output directory contract (osmosis_sampling.py:76-105); resume re-enters
+    # the latest run dir so finished images are found and skipped
     operator_name = measure_config["operator"]["name"]
     base = save_dir_override or args.save_dir
     out_path = os.path.abspath(pjoin(base, operator_name, data_config["name"]))
-    out_path = update_save_dir_date(out_path)
+    out_path = update_save_dir_date(out_path, resume=resume)
     C.config_snapshot(config_file, pjoin(out_path, "configurations.txt"))
     paths = make_output_dirs(out_path, args.save_singles, args.save_grids)
 
@@ -177,11 +180,12 @@ def run_restoration(
     gcfg = GuidanceConfig.from_config(
         method if not rgb_guidance else "ps",
         cond_config["params"], sample_pattern, args.aux_loss,
+        noiser_name=measure_config["noise"]["name"],
     )
 
     record_every = args.record_every if args.record_process else None
 
-    def _run(params_, x_init, y, key):
+    def _run(params_, x_init, y, key, phi0, opt0):
         def model_fn(x, t):
             return model.apply(params_, x, t)
 
@@ -189,9 +193,18 @@ def run_restoration(
             model_fn, schedule, x_init, y, key, operator, gcfg, scfg,
             sample_pattern=sample_pattern, record_every=record_every,
             progress_every=progress_every,
+            phi_init=phi0, opt_state_init=opt0,
         )
 
     run_fn = jax.jit(_run)
+
+    # cold-start phi / optimizer state (re-used as the warm-start carrier for
+    # global_N>1 — the reference keeps the operator alive across global
+    # iterations, osmosis_sampling.py:146-163 vs :191)
+    from ..guidance.phi_optim import make_phi_optimizer
+
+    phi_cold = {k: jnp.asarray(v) for k, v in operator.phi_init().items()}
+    opt_cold = make_phi_optimizer(operator.optimizer, operator.etas()).init(phi_cold)
 
     # fleet mode: batch_size > 1 vmaps the batch-1 guided loop over image
     # stacks — exact per-image semantics (independent phi/losses), one MXU
@@ -215,13 +228,11 @@ def run_restoration(
 
     stop_after = data_config.get("stop_after", -1)
 
-    resume = bool(getattr(args, "resume", False))
-
     if fleet_size > 1:
         _run_fleet(
             args, dataset, paths, fleet_run, params, operator, measure_config,
             logger, gt_flag, image_size, fleet_size, stop_after, noiser,
-            record_every, rgb_guidance,
+            record_every, rgb_guidance, resume=resume, global_N=global_N,
         )
         logger.log(prof.TIMERS.summary())
         logger.close()
@@ -249,6 +260,11 @@ def run_restoration(
         if getattr(args, "degamma_input", False):
             y = jnp.asarray(TR.degamma(np.asarray(y)))
 
+        # phi and its optimizer state reset at image boundaries, persist
+        # across global iterations (warm start — the point of GibbsDDRM's
+        # outer loop; osmosis_sampling.py:146-163 creates the operator
+        # outside the :191 global loop)
+        phi_carry, opt_carry = phi_cold, opt_cold
         for global_ii in range(global_N):
             logger.log(f"global iteration: {global_ii}\n")
             # seed reset per global iteration (osmosis_sampling.py:194)
@@ -257,8 +273,12 @@ def run_restoration(
                 jax.random.fold_in(key, 0), (1, image_size, image_size, 4)
             )
             with prof.phase("sample"):
-                res = run_fn(params, x_start, y, jax.random.fold_in(key, 1))
+                res = run_fn(
+                    params, x_start, y, jax.random.fold_in(key, 1),
+                    phi_carry, opt_carry,
+                )
                 res = jax.tree_util.tree_map(np.asarray, res)
+            phi_carry, opt_carry = res.phi, res.opt_state
 
             with prof.phase("postprocess+save"):
                 if rgb_guidance:
@@ -418,63 +438,90 @@ def _save_rgb_guidance_outputs(args, paths, orig_name, ref_img, sample, logger):
 def _run_fleet(
     args, dataset, paths, fleet_run, params, operator, measure_config, logger,
     gt_flag, image_size, fleet_size, stop_after, noiser, record_every,
-    rgb_guidance,
+    rgb_guidance, resume=False, global_N=1,
 ):
     """Batched fleet execution: chunks of `batch_size` images through the
-    vmapped guided loop (exact batch-1 semantics per image). The reference
-    only nominally supports batch>1 (SURVEY.md section 2.7); here it is a
-    first-class throughput mode."""
+    vmapped guided loop (exact batch-1 semantics per image: per-image
+    measurement-noise keys identical to the serial path, per-image phi,
+    GT grids, resume, global_N warm starts). The reference only nominally
+    supports batch>1 (SURVEY.md section 2.7); here it is a first-class
+    throughput mode. The tail chunk runs at its natural (smaller) batch —
+    one extra jit trace instead of wasted duplicate compute."""
     items = []
     for i, (ref_img, ref_img_name) in enumerate(dataset):
         if i == stop_after:
             break
+        gt = None
         if gt_flag:
-            ref_img = ref_img[0]
-        items.append((ref_img, ref_img_name))
+            ref_img, gt_rgb, gt_depth = ref_img
+            gt = (gt_rgb, gt_depth)
+        orig_name = os.path.splitext(ref_img_name)[0]
+        # per-image resumability, same contract as the serial path
+        if resume and paths.get("rgb") and os.path.exists(
+            pjoin(paths["rgb"], f"{orig_name}.png")
+        ):
+            logger.log(f"skipping image {i}: {ref_img_name} (output exists)")
+            continue
+        items.append((i, ref_img, ref_img_name, gt))
 
     key = jax.random.key(args.manual_seed)
     x_one = jax.random.normal(
         jax.random.fold_in(key, 0), (image_size, image_size, 4)
     )
     run_key = jax.random.fold_in(key, 1)
+    noise_root = jax.random.key(args.manual_seed + 1)
 
     for c0 in range(0, len(items), fleet_size):
         chunk = items[c0 : c0 + fleet_size]
         n_real = len(chunk)
-        while len(chunk) < fleet_size:  # pad the tail chunk
-            chunk.append(chunk[-1])
+        if n_real < fleet_size:
+            logger.log(
+                f"tail chunk of {n_real} images: compiling a batch-{n_real} "
+                f"variant (no duplicate compute on padding)"
+            )
         start_time = datetime.datetime.now()
-        ys = np.stack([im for im, _ in chunk])
+        ys_np = np.stack([im for _, im, _, _ in chunk])
         if getattr(args, "degamma_input", False):
-            ys = TR.degamma(ys)
-        ys = jnp.asarray(noiser(jnp.asarray(ys), key=jax.random.fold_in(key, 2)))
-        xs = jnp.broadcast_to(x_one, (fleet_size,) + x_one.shape)
-        keys = jnp.broadcast_to(run_key, (fleet_size,) + run_key.shape)
+            ys_np = TR.degamma(ys_np)
+        # per-image measurement-noise keys — identical stream to the serial
+        # path's fold_in(key(manual_seed+1), dataset_index)
+        ys = jnp.stack([
+            noiser(jnp.asarray(ys_np[j])[None],
+                   key=jax.random.fold_in(noise_root, chunk[j][0]))[0]
+            for j in range(n_real)
+        ])
+        xs = jnp.broadcast_to(x_one, (n_real,) + x_one.shape)
+        keys = jnp.broadcast_to(run_key, (n_real,) + run_key.shape)
 
-        with prof.phase("fleet_sample"):
-            res = fleet_run(params, xs, ys, keys)
-            res = jax.tree_util.tree_map(np.asarray, res)
+        phi0s = opt0s = None  # cold start on the first global iteration
+        for global_ii in range(global_N):
+            if global_N > 1:
+                logger.log(f"global iteration: {global_ii}\n")
+            with prof.phase("fleet_sample"):
+                res = fleet_run(params, xs, ys, keys, phi0s, opt0s)
+                res = jax.tree_util.tree_map(np.asarray, res)
+            phi0s, opt0s = res.phi, res.opt_state
 
-        with prof.phase("fleet_save"):
-            for j in range(n_real):
-                ref_img, name = chunk[j]
-                orig_name = os.path.splitext(name)[0]
-                res_j = jax.tree_util.tree_map(lambda a: a[j], res)
-                if rgb_guidance:
-                    _save_rgb_guidance_outputs(
-                        args, paths, orig_name, ref_img,
-                        np.asarray(res_j.sample)[0], logger,
-                    )
-                else:
-                    _save_osmosis_outputs(
-                        args, paths, orig_name, 0, ref_img, res_j, operator,
-                        measure_config, logger, gt=None,
-                    )
-                if record_every is not None and paths["grids"] is not None:
-                    _save_process_grid(
-                        res_j.snapshots,
-                        pjoin(paths["grids"], f"{orig_name}_process.png"),
-                    )
+            with prof.phase("fleet_save"):
+                for j in range(n_real):
+                    _, ref_img, name, gt = chunk[j]
+                    orig_name = os.path.splitext(name)[0]
+                    res_j = jax.tree_util.tree_map(lambda a: a[j], res)
+                    if rgb_guidance:
+                        _save_rgb_guidance_outputs(
+                            args, paths, orig_name, ref_img,
+                            np.asarray(res_j.sample)[0], logger,
+                        )
+                    else:
+                        _save_osmosis_outputs(
+                            args, paths, orig_name, global_ii, ref_img, res_j,
+                            operator, measure_config, logger, gt=gt,
+                        )
+                    if record_every is not None and paths["grids"] is not None:
+                        _save_process_grid(
+                            res_j.snapshots,
+                            pjoin(paths["grids"], f"{orig_name}_process.png"),
+                        )
         logger.log(
             f"fleet chunk {c0 // fleet_size}: {n_real} images in "
             f"{datetime.datetime.now() - start_time}"

@@ -28,14 +28,22 @@ def _load() -> Optional[ctypes.CDLL]:
     _TRIED = True
     if os.environ.get("OSMOSIS_TPU_NO_NATIVE"):
         return None
-    if not os.path.exists(_SO_PATH):
+    # rebuild when missing OR stale (source newer than the .so) — the binary
+    # is gitignored, so every checkout compiles its own from host_ops.cc
+    src = os.path.join(_NATIVE_DIR, "host_ops.cc")
+    stale = not os.path.exists(_SO_PATH) or (
+        os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+    )
+    if stale:
         try:
             subprocess.run(
-                ["make", "-C", _NATIVE_DIR, "-s"],
+                ["make", "-C", _NATIVE_DIR, "-sB"],
                 check=True, capture_output=True, timeout=120,
             )
         except Exception:
-            return None
+            if not os.path.exists(_SO_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:

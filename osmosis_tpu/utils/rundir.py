@@ -17,13 +17,20 @@ import re
 from typing import Dict, Optional
 
 
-def update_save_dir_date(base_dir: str) -> str:
+def update_save_dir_date(base_dir: str, resume: bool = False) -> str:
+    """Allocate <base>/<d-m-yy>/runN. With ``resume=True``, re-enter today's
+    most recent existing runN instead of allocating a fresh one, so the
+    per-image skip logic can actually find previous outputs."""
     today = datetime.date.today()
     stamp = f"{today.day}-{today.month}-{today.year % 2000}"
     save_dir = os.path.join(base_dir, stamp, "run1")
+    last = None
     while os.path.exists(save_dir):
+        last = save_dir
         digits = re.findall(r"\d+$", save_dir)[0]
         save_dir = f"{save_dir[: -len(digits)]}{int(digits) + 1}"
+    if resume and last is not None:
+        return last
     os.makedirs(save_dir, exist_ok=True)
     return save_dir
 

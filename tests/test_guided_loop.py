@@ -184,6 +184,131 @@ def test_ps_rgb_guidance_loop_parity(no_torch_noise):
     )
 
 
+def test_global_n_phi_persistence_parity(no_torch_noise):
+    """global_N > 1 (GibbsDDRM restarts): phi and its optimizer state must
+    warm-start each global iteration — the reference creates the operator
+    outside the global loop (osmosis_sampling.py:146-163 vs :191), so the
+    second p_sample_loop call continues from the optimized phi."""
+    import_reference()
+    import torch
+    from guided_diffusion.gaussian_diffusion import create_sampler
+    from guided_diffusion.measurements import get_noise, get_operator as ref_get_op
+    from guided_diffusion.condition_methods import get_conditioning_method
+
+    rng = np.random.default_rng(7)
+    x0 = rng.standard_normal((1, HW, HW, 4)).astype(np.float32)
+    y = rng.uniform(-1, 1, (1, HW, HW, 3)).astype(np.float32)
+
+    sampler = create_sampler(
+        sampler="ddpm", steps=T_STEPS, noise_schedule="linear",
+        model_mean_type="epsilon", model_var_type="learned_range",
+        dynamic_threshold=False, clip_denoised=True, rescale_timesteps=False,
+        timestep_respacing="",
+    )
+    operator = ref_get_op(
+        name="underwater_physical_revised", device=torch.device("cpu"),
+        batch_size=1, **OP_KW,
+    )
+    noiser = get_noise(name="clean")
+    cond = get_conditioning_method(
+        "osmosis", operator, noiser, **COND_PARAMS, **PATTERN,
+        aux_loss={"avrg_loss": 0.5, "val_loss": 20.0},
+    )
+    ref_phi_per_iter = []
+    ref_img = None
+    for global_ii in range(2):  # operator NOT re-created → phi persists
+        x_start = torch.from_numpy(x0.transpose(0, 3, 1, 2)).clone().requires_grad_()
+        ref_img, variable_dict, _, _ = sampler.p_sample_loop(
+            model=_fake_model_torch, x_start=x_start,
+            measurement=torch.from_numpy(y.transpose(0, 3, 1, 2)),
+            measurement_cond_fn=cond.conditioning,
+            record=False, save_root=None, pretrain_model="osmosis",
+            rgb_guidance=False, sample_pattern=PATTERN,
+            global_iteration=global_ii,
+        )
+        ref_phi_per_iter.append({k: v.numpy().copy() for k, v in variable_dict.items()})
+
+    sch = make_schedule("linear", T_STEPS)
+    op = get_operator("underwater_physical_revised", batch_size=1, **OP_KW)
+    gcfg = GuidanceConfig.from_config(
+        "osmosis", COND_PARAMS, PATTERN,
+        {"aux_loss": {"avrg_loss": 0.5, "val_loss": 20.0}},
+    )
+    phi_carry, opt_carry = None, None
+    phis = []
+    res = None
+    for global_ii in range(2):
+        res = guided_sample_loop(
+            _fake_model_jax, sch, jnp.asarray(x0), jnp.asarray(y),
+            jax.random.key(0), op, gcfg, SamplerConfig(clip_denoised=True),
+            sample_pattern=PATTERN, deterministic=True,
+            phi_init=phi_carry, opt_state_init=opt_carry,
+        )
+        phi_carry, opt_carry = res.phi, res.opt_state
+        phis.append({k: np.asarray(v) for k, v in res.phi.items()})
+
+    # warm start must actually change the trajectory
+    assert np.abs(phis[1]["phi_a"] - phis[0]["phi_a"]).max() > 1e-7
+    for it in range(2):
+        for k in ("phi_a", "phi_b", "phi_inf"):
+            np.testing.assert_allclose(
+                phis[it][k], ref_phi_per_iter[it][k].reshape(1, 3),
+                rtol=1e-4, atol=1e-5, err_msg=f"iter {it} {k}",
+            )
+    np.testing.assert_allclose(
+        np.asarray(res.sample).transpose(0, 3, 1, 2), ref_img.detach().numpy(),
+        rtol=1e-3, atol=2e-4,
+    )
+
+
+def test_ps_poisson_branch_parity(no_torch_noise):
+    """'ps' with a poisson noiser uses loss = mean(‖y − A(x0)‖ / |y|) over the
+    FULL x0 (condition_methods.py:43-48). Measurement is 4-channel here since
+    the reference's poisson branch does not slice RGB."""
+    import_reference()
+    import torch
+    from guided_diffusion.gaussian_diffusion import create_sampler
+    from guided_diffusion.measurements import get_noise, get_operator as ref_get_op
+    from guided_diffusion.condition_methods import get_conditioning_method
+
+    rng = np.random.default_rng(11)
+    x0 = rng.standard_normal((1, HW, HW, 4)).astype(np.float32)
+    y = rng.uniform(0.2, 1, (1, HW, HW, 4)).astype(np.float32)  # nonzero |y|
+
+    sampler = create_sampler(
+        sampler="ddpm", steps=T_STEPS, noise_schedule="linear",
+        model_mean_type="epsilon", model_var_type="learned_range",
+        dynamic_threshold=False, clip_denoised=True, rescale_timesteps=False,
+        timestep_respacing="",
+    )
+    operator = ref_get_op(name="rgb_guidance", device=torch.device("cpu"), batch_size=1)
+    noiser = get_noise(name="poisson", rate=1.0)
+    cond = get_conditioning_method("ps", operator, noiser, scale="0.3")
+    x_start = torch.from_numpy(x0.transpose(0, 3, 1, 2)).clone().requires_grad_()
+    ref_img = sampler.p_sample_loop(
+        model=_fake_model_torch, x_start=x_start,
+        measurement=torch.from_numpy(y.transpose(0, 3, 1, 2)),
+        measurement_cond_fn=cond.conditioning,
+        record=False, save_root=None, pretrain_model="osmosis",
+        rgb_guidance=True, sample_pattern=PATTERN,
+    ).detach().numpy()
+
+    sch = make_schedule("linear", T_STEPS)
+    op = get_operator("rgb_guidance", batch_size=1)
+    gcfg = GuidanceConfig.from_config(
+        "ps", dict(scale="0.3", gradient_x_prev=True), PATTERN, None,
+        noiser_name="poisson",
+    )
+    res = guided_sample_loop(
+        _fake_model_jax, sch, jnp.asarray(x0), jnp.asarray(y),
+        jax.random.key(0), op, gcfg, SamplerConfig(clip_denoised=True),
+        sample_pattern=PATTERN, deterministic=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.sample).transpose(0, 3, 1, 2), ref_img, rtol=1e-3, atol=2e-4
+    )
+
+
 def test_guided_loop_stochastic_shapes_and_telemetry():
     """Non-deterministic run: shapes, finiteness, snapshot recording."""
     sch = make_schedule("linear", T_STEPS)

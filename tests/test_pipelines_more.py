@@ -82,6 +82,100 @@ def test_simulation_gt_pipeline(tmp_path):
     assert "phi_ab" in log
 
 
+def _fleet_cfg(tmp_path, root, batch_size, *, noise=None, gt=None, global_N=1,
+               resume=False, subdir="results"):
+    data = dict(batch_size=batch_size, name="fleetpar", root=root,
+                stop_after=-1, ground_truth=gt is not None)
+    if gt is not None:
+        data.update(gt_rgb=gt[0], gt_depth=gt[1])
+    cfg = dict(
+        save_dir=str(tmp_path / subdir),
+        degamma_input=False, manual_seed=0, rgb_guidance=False,
+        save_singles=True, save_grids=gt is not None,
+        record_process=False, record_every=20,
+        resume=resume,
+        sample_pattern=dict(PATTERN, global_N=global_N),
+        unet_model=TINY_UNET, diffusion=DIFFUSION,
+        conditioning=dict(
+            method="osmosis",
+            params=dict(
+                loss_function="norm", loss_weight="depth",
+                weight_function="gamma,1.4,1.4,1", scale="7,7,7,0.9",
+                gradient_x_prev=True, gradient_clip="True,0.005",
+            ),
+        ),
+        aux_loss=dict(aux_loss=dict(avrg_loss=0.5, val_loss=20)),
+        data=data,
+        measurement=dict(
+            operator=dict(
+                name="underwater_physical_revised", optimizer="sgd",
+                depth_type="gamma", value="1.4,1.4,1",
+                phi_a="1.1,0.95,0.95", phi_a_eta=1e-5, phi_a_learn_flag=True,
+                phi_b="0.95, 0.8, 0.8", phi_b_eta=1e-5, phi_b_learn_flag=True,
+                phi_inf="0.14, 0.29, 0.49", phi_inf_eta=1e-5, phi_inf_learn_flag=True,
+            ),
+            noise=noise or dict(name="clean"),
+        ),
+    )
+    cfg_path = str(tmp_path / f"cfg_{subdir}.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    return cfg_path
+
+
+def test_fleet_matches_serial_with_gaussian_noise(tmp_path):
+    """Fleet mode must reproduce the serial path per image — including the
+    per-image measurement-noise stream (fold_in(key(seed+1), image_index)),
+    which round 1 shared across chunks (ADVICE.md)."""
+    from osmosis_tpu.pipelines import run_restoration
+
+    root = str(tmp_path / "imgs")
+    _write_images(root, n=3)
+    noise = dict(name="gaussian", sigma=0.05)
+
+    out_serial = run_restoration(_fleet_cfg(tmp_path, root, 1, noise=noise,
+                                            subdir="serial"))
+    out_fleet = run_restoration(_fleet_cfg(tmp_path, root, 2, noise=noise,
+                                           subdir="fleet"))
+    for i in range(3):
+        a = np.asarray(Image.open(pjoin(out_serial, "single_images", "rgb", f"img_{i}.png")), dtype=np.int16)
+        b = np.asarray(Image.open(pjoin(out_fleet, "single_images", "rgb", f"img_{i}.png")), dtype=np.int16)
+        assert np.abs(a - b).max() <= 1, f"fleet diverged from serial on img_{i}"
+    # tail chunk (3 images / batch 2) ran unpadded
+    log = open(pjoin(out_fleet, "log.txt")).read()
+    assert "tail chunk of 1 images" in log
+
+
+def test_fleet_gt_resume_global_n(tmp_path):
+    """Fleet first-class features: GT grids, resume skip, global_N>1 warm
+    starts (one output per global iteration, as in the serial path)."""
+    from osmosis_tpu.pipelines import run_restoration
+
+    root = str(tmp_path / "in")
+    gt_rgb = str(tmp_path / "gtr")
+    gt_depth = str(tmp_path / "gtd")
+    _write_images(root, n=3)
+    _write_images(gt_rgb, n=3)
+    _write_images(gt_depth, n=3, depth=True)
+
+    cfg_path = _fleet_cfg(tmp_path, root, 2, gt=(gt_rgb, gt_depth),
+                          global_N=2, resume=True, subdir="gtfleet")
+    out = run_restoration(cfg_path)
+    for i in range(3):
+        assert os.path.exists(pjoin(out, "single_images", "rgb", f"img_{i}.png"))
+        # one grid per global iteration, GT panels included
+        for g in range(2):
+            assert os.path.exists(pjoin(out, "grid_results", f"img_{i}_g{g}_grid.png"))
+    log = open(pjoin(out, "log.txt")).read()
+    assert "global iteration: 1" in log
+
+    # resume: a second run re-enters the same run dir and skips every image
+    out2 = run_restoration(cfg_path)
+    assert out2 == out
+    log2 = open(pjoin(out, "log.txt")).read()
+    assert log2.count("skipping image") >= 3
+
+
 def test_haze_degamma_ddim_pipeline(tmp_path):
     root = str(tmp_path / "haze")
     _write_images(root)

@@ -38,28 +38,53 @@ def psnr(a, b):
     return float(10 * np.log10(1.0 / mse))
 
 
-def ssim(a, b, c1=0.01**2, c2=0.03**2, win=7):
-    """Grayscale mean-pooled SSIM with a uniform window (standard formula)."""
-    def gray(x):
-        return x @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+def _ssim_single(x, y, data_range=1.0, sigma=1.5, use_sample_covariance=True):
+    """scikit-image structural_similarity(gaussian_weights=True, sigma=1.5)
+    equivalent on ONE channel: 11x11 gaussian window (truncate=3.5 → radius 5),
+    'reflect' boundary, border crop of (win-1)//2, sample-covariance
+    normalization NP/(NP-1) by default (skimage's default); pass
+    use_sample_covariance=False for the Wang et al. MATLAB ssim_index.m
+    variant. skimage itself is not in this container, so the window/crop/
+    normalization choices are replicated here and pinned by
+    tests/test_evaluate.py against an independent direct-convolution oracle.
+    """
+    from scipy.ndimage import gaussian_filter
 
-    x, y = gray(a), gray(b)
+    truncate = 3.5
+    r = int(truncate * sigma + 0.5)
+    win = 2 * r + 1  # 11
+    x = x.astype(np.float64)
+    y = y.astype(np.float64)
 
-    def filt(z):
-        from numpy.lib.stride_tricks import sliding_window_view
+    filt = lambda z: gaussian_filter(z, sigma, truncate=truncate, mode="reflect")
+    NP = win * win
+    cov_norm = NP / (NP - 1.0) if use_sample_covariance else 1.0
 
-        w = sliding_window_view(z, (win, win))
-        return w.mean(axis=(-1, -2))
+    ux, uy = filt(x), filt(y)
+    uxx, uyy, uxy = filt(x * x), filt(y * y), filt(x * y)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
 
-    mx, my = filt(x), filt(y)
-    mxx, myy, mxy = filt(x * x), filt(y * y), filt(x * y)
-    vx = mxx - mx**2
-    vy = myy - my**2
-    cxy = mxy - mx * my
-    s = ((2 * mx * my + c1) * (2 * cxy + c2)) / (
-        (mx**2 + my**2 + c1) * (vx + vy + c2)
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+        (ux**2 + uy**2 + c1) * (vx + vy + c2)
     )
-    return float(s.mean())
+    pad = (win - 1) // 2
+    return float(s[pad:-pad, pad:-pad].mean())
+
+
+def ssim(a, b, data_range=1.0, use_sample_covariance=True):
+    """Mean over channels (skimage channel_axis=-1 behavior) of the
+    gaussian-window SSIM. Inputs [H,W,3] (or [H,W]) in [0, data_range]."""
+    if a.ndim == 2:
+        return _ssim_single(a, b, data_range, use_sample_covariance=use_sample_covariance)
+    return float(np.mean([
+        _ssim_single(a[..., c], b[..., c], data_range,
+                     use_sample_covariance=use_sample_covariance)
+        for c in range(a.shape[-1])
+    ]))
 
 
 def main():
