@@ -22,7 +22,21 @@ def main():
         "--progress", type=int, default=None, metavar="N",
         help="print loss/phi every N diffusion steps (async host callback)",
     )
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="initialize jax.distributed (TPU pod: auto-discovers topology; "
+             "otherwise pass --coordinator/--num-processes/--process-id or "
+             "set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID)",
+    )
+    parser.add_argument("--coordinator", default=None, metavar="HOST:PORT")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args()
+
+    if args.multihost or args.coordinator is not None:
+        from osmosis_tpu.parallel import multihost as MH
+
+        MH.initialize(args.coordinator, args.num_processes, args.process_id)
     config_file = os.path.abspath(args.config_file)
     print(f"\nConfiguration file:\n{config_file}\n")
 

@@ -196,7 +196,7 @@ def guided_sample_loop(
         # the axon PJRT relay has no host send/recv support — degrade to
         # silent sampling rather than failing the whole chain
         try:
-            version = getattr(jax.devices()[0].client, "platform_version", "")
+            version = getattr(jax.local_devices()[0].client, "platform_version", "")
             if "axon" in str(version):
                 print(
                     "[osmosis_tpu] progress callbacks unsupported on this "

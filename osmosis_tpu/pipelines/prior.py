@@ -35,7 +35,7 @@ def run_prior_sampling(
     args = C.arguments_from_file(config_file)
     args.image_size = args.unet_model["image_size"]
     image_size = args.image_size
-    devices = jax.devices()
+    devices = jax.local_devices()
     device = devices[min(device_index, len(devices) - 1)]
 
     out_path = os.path.abspath(

@@ -102,7 +102,9 @@ def run_restoration(
     args = C.arguments_from_file(config_file)
     args.image_size = args.unet_model["image_size"]
     image_size = args.image_size
-    devices = jax.devices()
+    # local devices: under multi-host each process only addresses its own
+    # chips (jax.devices() would include non-addressable remote devices)
+    devices = jax.local_devices()
     device = devices[min(device_index, len(devices) - 1)]
 
     data_config = args.data
@@ -143,16 +145,37 @@ def run_restoration(
 
     resume = bool(getattr(args, "resume", False))
 
+    # multi-host: every process runs this same function; images stride
+    # across hosts (embarrassingly parallel — no cross-host collectives in
+    # the hot loop), each rank logs to its own files (SURVEY.md section 2.7)
+    from ..parallel import multihost as MH
+
+    multihost = MH.is_multihost()
+
     # output directory contract (osmosis_sampling.py:76-105); resume re-enters
-    # the latest run dir so finished images are found and skipped
+    # the latest run dir so finished images are found and skipped. Under
+    # multi-host, rank 0 allocates runN and the other ranks join it after a
+    # barrier (shared-filesystem pods; separate-fs hosts each get their own).
     operator_name = measure_config["operator"]["name"]
     base = save_dir_override or args.save_dir
     out_path = os.path.abspath(pjoin(base, operator_name, data_config["name"]))
-    out_path = update_save_dir_date(out_path, resume=resume)
+    if multihost:
+        if jax.process_index() == 0:
+            out_path = update_save_dir_date(out_path, resume=resume)
+        MH.barrier("rundir_allocated")
+        if jax.process_index() != 0:
+            out_path = update_save_dir_date(out_path, resume=True)
+    else:
+        out_path = update_save_dir_date(out_path, resume=resume)
     C.config_snapshot(config_file, pjoin(out_path, "configurations.txt"))
     paths = make_output_dirs(out_path, args.save_singles, args.save_grids)
 
-    logger = L.configure(out_path)
+    logger = L.configure(out_path, rank_suffix=MH.rank_suffix() if multihost else "")
+    if multihost:
+        logger.log(
+            f"multi-host run: process {jax.process_index()}/{jax.process_count()}, "
+            f"{jax.local_device_count()} local / {jax.device_count()} global devices"
+        )
     logger.log(f"pretrained model file: {args.unet_model['model_path']}")
     if not rgb_guidance:
         _log_run_header(logger, args)
@@ -233,7 +256,10 @@ def run_restoration(
             args, dataset, paths, fleet_run, params, operator, measure_config,
             logger, gt_flag, image_size, fleet_size, stop_after, noiser,
             record_every, rgb_guidance, resume=resume, global_N=global_N,
+            multihost=multihost,
         )
+        if multihost:
+            MH.barrier("fleet_done")
         logger.log(prof.TIMERS.summary())
         logger.close()
         return out_path
@@ -241,6 +267,8 @@ def run_restoration(
     for i, (ref_img, ref_img_name) in enumerate(dataset):
         if i == stop_after:
             break
+        if multihost and (i % jax.process_count()) != jax.process_index():
+            continue  # another host owns this image
         if gt_flag:
             ref_img, gt_rgb, gt_depth = ref_img
         start_time = datetime.datetime.now()
@@ -304,6 +332,13 @@ def run_restoration(
             logger.logkv("final_loss", float(np.asarray(res.sep_loss)[-1].mean()))
             logger.dumpkvs()
 
+    if multihost:
+        # all hosts finish their slices before rank 0's summary is complete
+        MH.barrier("serial_done")
+        logger.log(
+            "multi-host: all processes finished "
+            f"(this rank: {jax.process_index()})"
+        )
     logger.log(prof.TIMERS.summary())
     logger.close()
     return out_path
@@ -438,7 +473,7 @@ def _save_rgb_guidance_outputs(args, paths, orig_name, ref_img, sample, logger):
 def _run_fleet(
     args, dataset, paths, fleet_run, params, operator, measure_config, logger,
     gt_flag, image_size, fleet_size, stop_after, noiser, record_every,
-    rgb_guidance, resume=False, global_N=1,
+    rgb_guidance, resume=False, global_N=1, multihost=False,
 ):
     """Batched fleet execution: chunks of `batch_size` images through the
     vmapped guided loop (exact batch-1 semantics per image: per-image
@@ -451,6 +486,8 @@ def _run_fleet(
     for i, (ref_img, ref_img_name) in enumerate(dataset):
         if i == stop_after:
             break
+        if multihost and (i % jax.process_count()) != jax.process_index():
+            continue  # another host owns this image
         gt = None
         if gt_flag:
             ref_img, gt_rgb, gt_depth = ref_img

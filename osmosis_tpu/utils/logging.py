@@ -94,21 +94,28 @@ class TensorBoardWriter:
 
 class RunLogger:
     def __init__(self, dir: Optional[str] = None,
-                 format_strs: Optional[Sequence[str]] = None):
+                 format_strs: Optional[Sequence[str]] = None,
+                 rank_suffix: str = ""):
         self.dir = dir
         self._file = None
         self._kv: Dict[str, Any] = {}
         self._csv_keys: Optional[list] = None
         self._tb: Optional[TensorBoardWriter] = None
+        self._suffix = rank_suffix  # multi-host: non-primary ranks get
+        # their own files (baselines logger MPI behavior, logger.py:403-409)
         if format_strs is None:
             format_strs = ("stdout", "log", "json", "csv")
         self._formats = tuple(format_strs)
         if dir is not None:
             os.makedirs(dir, exist_ok=True)
             if "log" in self._formats:
-                self._file = open(os.path.join(dir, "log.txt"), "a")
+                self._file = open(
+                    os.path.join(dir, f"log{rank_suffix}.txt"), "a"
+                )
             if "tensorboard" in self._formats:
-                self._tb = TensorBoardWriter(os.path.join(dir, "tb"))
+                self._tb = TensorBoardWriter(
+                    os.path.join(dir, f"tb{rank_suffix}")
+                )
 
     def log(self, *args):
         msg = " ".join(str(a) for a in args)
@@ -122,7 +129,7 @@ class RunLogger:
         self._kv[key] = value
 
     def _write_csv(self, row: Dict[str, Any]):
-        csv_path = os.path.join(self.dir, "progress.csv")
+        csv_path = os.path.join(self.dir, f"progress{self._suffix}.csv")
         new_keys = [k for k in row if self._csv_keys is None or k not in self._csv_keys]
         if self._csv_keys is None:
             self._csv_keys = list(row)
@@ -149,7 +156,7 @@ class RunLogger:
             return
         row = dict(self._kv, _time=time.time())
         if "json" in self._formats:
-            with open(os.path.join(self.dir, "progress.json"), "a") as f:
+            with open(os.path.join(self.dir, f"progress{self._suffix}.json"), "a") as f:
                 f.write(json.dumps(row, default=str) + "\n")
         if "csv" in self._formats:
             self._write_csv(row)
@@ -170,9 +177,10 @@ _CURRENT: Optional[RunLogger] = None
 
 
 def configure(dir: Optional[str] = None,
-              format_strs: Optional[Sequence[str]] = None) -> RunLogger:
+              format_strs: Optional[Sequence[str]] = None,
+              rank_suffix: str = "") -> RunLogger:
     global _CURRENT
-    _CURRENT = RunLogger(dir, format_strs=format_strs)
+    _CURRENT = RunLogger(dir, format_strs=format_strs, rank_suffix=rank_suffix)
     return _CURRENT
 
 

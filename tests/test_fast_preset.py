@@ -1,0 +1,116 @@
+"""Fast-sampling preset (configs/osmosis_sample_fast_config.yaml):
+structural validation of the <10 s/image recipe.
+
+Quality parity needs the real checkpoint (tools/validate_checkpoint.py);
+what CAN be pinned today: the preset parses through the production config
+path, the ddim250 respacing yields the documented chain, and the full
+guided machinery still recovers known water parameters on a RESPACED chain
+with the preset's compensated (4x) phi learning rates.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from osmosis_tpu import config as C
+from osmosis_tpu.diffusion import make_schedule
+from osmosis_tpu.diffusion.guided import GuidanceConfig, guided_sample_loop
+from osmosis_tpu.diffusion.sampler import SamplerConfig
+from osmosis_tpu.guidance.operators import get_operator
+
+CFG = os.path.join(os.path.dirname(__file__), "..", "configs",
+                   "osmosis_sample_fast_config.yaml")
+HW = 16
+
+
+def test_fast_preset_parses_and_respaces():
+    args = C.arguments_from_file(CFG)
+    d = args.diffusion
+    assert d["timestep_respacing"] == "ddim250"
+    sch = make_schedule(
+        noise_schedule=d["noise_schedule"], steps=d["steps"],
+        timestep_respacing=d["timestep_respacing"],
+        rescale_timesteps=d["rescale_timesteps"],
+    )
+    assert sch.num_timesteps == 250  # 4x fewer UNet passes
+    mt = np.asarray(sch.device_constants()["model_timesteps"])
+    assert mt.shape == (250,) and mt[0] == 0 and mt[-1] <= 999
+    assert np.all(np.diff(mt) > 0)
+    # compensated phi learning rates: 4x the 1000-step preset's 1e-5
+    op = args.measurement["operator"]
+    assert float(op["phi_a_eta"]) == 4.0e-5
+    assert args.unet_model["use_fp16"] is True  # bf16 torso on TPU
+
+
+def test_phi_recovery_on_respaced_chain():
+    """The oracle-denoiser phi-recovery experiment of test_phi_recovery.py,
+    on a 4x-respaced chain with 4x etas — the fast preset's structure."""
+    T_orig, T_kept = 240, 60
+
+    def smooth(key, shape):
+        small = jax.random.uniform(key, (4, 4, shape[-1]), minval=-0.8, maxval=0.8)
+        return jax.image.resize(small, shape, method="bilinear")
+
+    x0_true = smooth(jax.random.key(0), (HW, HW, 4))[None]
+    phi_true = {
+        "phi_a": jnp.array([[0.9, 0.7, 0.6]]),
+        "phi_b": jnp.array([[0.7, 0.6, 0.5]]),
+        "phi_inf": jnp.array([[0.2, 0.35, 0.5]]),
+    }
+    operator = get_operator(
+        "underwater_physical_revised", batch_size=1,
+        optimizer="sgd", depth_type="original", value="1.4,1.4,1",
+        phi_a="1.1,0.95,0.95", phi_b="0.95,0.8,0.8", phi_inf="0.14,0.29,0.49",
+        phi_a_eta=8e-4, phi_b_eta=8e-4, phi_inf_eta=8e-4,  # 4x the dense-chain rate
+    )
+    y = 2.0 * operator.forward(phi_true, x0_true) - 1.0
+
+    sch = make_schedule("linear", T_orig, timestep_respacing=f"ddim{T_kept}")
+    assert sch.num_timesteps == T_kept
+    consts = sch.device_constants()
+    sa = jnp.asarray(consts["sqrt_alphas_cumprod"])
+    s1m = jnp.asarray(consts["sqrt_one_minus_alphas_cumprod"])
+    tmap = jnp.asarray(consts["model_timesteps"])
+
+    def oracle_model(x, t_float):
+        # model timestep (original scale) -> respaced index
+        idx = jnp.clip(jnp.searchsorted(tmap, t_float[0]), 0, T_kept - 1)
+        eps = (x - sa[idx] * x0_true) / s1m[idx]
+        return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=-1)
+
+    pattern = dict(
+        pattern="pcgs", update_start=1.0, update_end=0, global_N=1, local_M=1,
+        s_start=1, s_end=0, n_iter=10, start_guidance=1, stop_guidance=0,
+    )
+    gcfg = GuidanceConfig.from_config(
+        "osmosis",
+        dict(loss_function="norm", loss_weight="none",
+             weight_function="gamma,1.4,1.4,1", scale="0.5,0.5,0.5,0.5",
+             gradient_x_prev=True, gradient_clip="True,0.005"),
+        pattern, None,
+    )
+    res = guided_sample_loop(
+        oracle_model, sch, jax.random.normal(jax.random.key(1), (1, HW, HW, 4)),
+        y, jax.random.key(2), operator, gcfg,
+        SamplerConfig(clip_denoised=True), sample_pattern=pattern,
+        deterministic=True,
+    )
+
+    assert np.isfinite(np.asarray(res.sample)).all()
+    init_phi = {k: jnp.asarray(v) for k, v in operator.phi_init().items()}
+    d_init = np.abs(np.asarray(init_phi["phi_a"]) - np.asarray(phi_true["phi_a"])).mean()
+    d_final = np.abs(np.asarray(res.phi["phi_a"]) - np.asarray(phi_true["phi_a"])).mean()
+    assert d_final < d_init * 0.9, f"phi_a: {d_init:.4f} -> {d_final:.4f}"
+
+    def forward_err(phi):
+        pred = 2.0 * operator.forward(phi, x0_true) - 1.0
+        return float(jnp.sqrt(jnp.sum((y - pred) ** 2)))
+
+    assert forward_err(res.phi) < 0.35 * forward_err(init_phi)
+    sep = np.asarray(res.sep_loss)[:, 0]
+    assert sep[-1] < 0.35 * sep.max()
+    np.testing.assert_allclose(
+        np.asarray(res.pred_xstart), np.asarray(x0_true), atol=1e-2
+    )
