@@ -58,6 +58,13 @@ def build_guided_run(dtype=jnp.bfloat16, n_iter=20, image_size=256):
         jnp.zeros((1, image_size, image_size, 4)),
         jnp.zeros((1,)),
     )
+    if dtype == jnp.bfloat16:
+        # production stores weights bf16 (restore.py cast_params_half);
+        # fp32 weights would double the HBM reads of the weight-bound
+        # deep-level convs
+        from osmosis_tpu.models.convert import cast_params_half
+
+        params = cast_params_half(params)
 
     # 1000-step schedule respaced to BENCH_STEPS — identical per-step compute
     schedule = make_schedule("linear", 1000, timestep_respacing=BENCH_STEPS)
@@ -113,6 +120,10 @@ def build_prior_run(dtype=jnp.bfloat16, image_size=256):
         jnp.zeros((1, image_size, image_size, 4)),
         jnp.zeros((1,)),
     )
+    if dtype == jnp.bfloat16:
+        from osmosis_tpu.models.convert import cast_params_half
+
+        params = cast_params_half(params)
     schedule = make_schedule("linear", 1000)
 
     def _run(params_, x, key):

@@ -279,15 +279,32 @@ def guided_sample_loop(
         freeze = masks["freeze_phi"][t]
         x0_c = jax.lax.stop_gradient(x0)
 
-        # inner phi-only iterations (n_iter-1 of them; 0 when frozen) —
-        # physics-only gradients, UNet untouched (condition_methods.py:193-194)
-        def phi_body(_, carry):
+        # inner phi-only iterations (n_iter-1 of them; masked out when
+        # frozen) — physics-only gradients, UNet untouched
+        # (condition_methods.py:193-194). Statically UNROLLED: each physics
+        # gradient is a handful of tiny fused kernels and a fori_loop would
+        # pay while-loop sync overhead per iteration; unrolling lets XLA
+        # schedule all of them back to back and hoist the loop-invariant
+        # depth conversion.
+        def phi_body(carry):
             phi_, st_ = carry
             g = jax.grad(lambda p: loss_terms(x0_c, p)[0])(phi_)
             return opt.update(phi_, g, st_)
 
-        n_inner = jnp.where(freeze, 0, gcfg.n_iter - 1)
-        phi, opt_state = jax.lax.fori_loop(0, n_inner, phi_body, (phi, opt_state))
+        if gcfg.n_iter <= 32:
+            def unrolled(carry):
+                for _ in range(gcfg.n_iter - 1):
+                    carry = phi_body(carry)
+                return carry
+
+            phi, opt_state = jax.lax.cond(
+                freeze, lambda c: c, unrolled, (phi, opt_state)
+            )
+        else:
+            n_inner = jnp.where(freeze, 0, gcfg.n_iter - 1)
+            phi, opt_state = jax.lax.fori_loop(
+                0, n_inner, lambda _, c: phi_body(c), (phi, opt_state)
+            )
 
         # joint gradient wrt (x0-hat, phi) with the UNet pullback applied once
         (_, (sep, aux_vec)), (g_x0, g_phi) = jax.value_and_grad(

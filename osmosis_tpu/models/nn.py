@@ -142,24 +142,165 @@ class GroupNorm32(nn.Module):
     128-lane minor dimension) and costs ~38% of the whole UNet forward.
     Both the forward and the hand-written backward (group_norm's custom_vjp)
     reduce per-CHANNEL first and collapse the tiny [B, C] stats to groups.
+
+    ``num_channels``/``channel_offset`` support the concat-free skip path:
+    the affine parameters cover the full virtual concat width while each
+    call normalizes one group-aligned slice of it (group statistics never
+    mix channels across a group boundary, so per-part evaluation is exact).
     """
 
     num_groups: int = 32
     epsilon: float = 1e-5
+    num_channels: int = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, channel_offset: int = 0) -> jax.Array:
+        c_total = self.num_channels or x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c_total,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c_total,), jnp.float32)
         c = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return group_norm(x, scale, bias, self.num_groups, self.epsilon)
+        if c == c_total and channel_offset == 0:
+            return group_norm(x, scale, bias, self.num_groups, self.epsilon)
+        gw = c_total // self.num_groups
+        assert channel_offset % gw == 0 and c % gw == 0, (
+            "GroupNorm slice must align to group boundaries"
+        )
+        return group_norm(
+            x,
+            jax.lax.slice_in_dim(scale, channel_offset, channel_offset + c, axis=0),
+            jax.lax.slice_in_dim(bias, channel_offset, channel_offset + c, axis=0),
+            c // gw,
+            self.epsilon,
+        )
 
 
 def silu(x: jax.Array) -> jax.Array:
     return x * jax.nn.sigmoid(x)
 
 
-def conv3x3(features: int, name: str, zero_init: bool = False, dtype: Any = jnp.float32):
+class Conv3x3AsDot(nn.Module):
+    """3x3 same-padding conv evaluated as im2col + one MXU dot.
+
+    For small spatial maps (8x8 / 16x16 at the UNet's deep levels) XLA's TPU
+    conv emitter runs at ~15% MXU efficiency (batch-1, tiny spatial — no
+    space-to-batch rewrite; measured in the round-2 guided-step profile).
+    Rewriting as [H*W, 9*C_in] x [9*C_in, C_out] gives the MXU a
+    well-shaped matmul (3.5x faster at [1,8,8,1024]); the im2col gather is
+    9 shifted pads of a tensor that is tiny at these levels. Parameter
+    shape/name ('kernel' [3,3,I,O] + 'bias') is identical to nn.Conv, so
+    checkpoints convert identically and either path can load either.
+    """
+
+    features: int
+    zero_init: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, cin = x.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        xd = x.astype(self.dtype)
+        kd = kernel.astype(self.dtype)
+        xp = jnp.pad(xd, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        # taps ordered to match kernel[dy, dx] layout
+        cols = [
+            xp[:, dy : dy + h, dx : dx + w, :]
+            for dy in range(3)
+            for dx in range(3)
+        ]
+        patches = jnp.concatenate(cols, axis=-1).reshape(b * h * w, 9 * cin)
+        out = patches @ kd.reshape(9 * cin, self.features)
+        out = out + bias.astype(out.dtype)
+        return out.reshape(b, h, w, self.features)
+
+
+# spatial sizes at or below this token count route 3x3 convs through the
+# im2col+dot path (the deep UNet levels); larger maps use XLA's conv
+# emitter, which space-to-batches them efficiently (measured near-peak at
+# 32x32+; the standalone dot win at [1,8,8,1024] is 70us -> 40us)
+CONV_DOT_MAX_TOKENS = 256
+
+
+class ConvMulti(nn.Module):
+    """Conv over a VIRTUAL channel concatenation: one kernel parameter of
+    the full input width (identical tree/init to nn.Conv), applied as one
+    sliced conv per part and summed — conv is linear over input channels,
+    so this equals conv(concat(parts)) exactly while never materializing
+    the concat (a 2x67MB round-trip per level-0 output block)."""
+
+    features: int
+    ksize: int = 3
+    zero_init: bool = False
+    dtype: Any = jnp.float32
+    use_dot: bool = False
+
+    @nn.compact
+    def __call__(self, parts) -> jax.Array:
+        if not isinstance(parts, (list, tuple)):
+            parts = [parts]
+        in_total = sum(p.shape[-1] for p in parts)
+        k = self.ksize
+        kernel = self.param(
+            "kernel",
+            nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal(),
+            (k, k, in_total, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        kd = kernel.astype(self.dtype)
+        out, off = None, 0
+        for p in parts:
+            cin = p.shape[-1]
+            kp = jax.lax.slice_in_dim(kd, off, off + cin, axis=2)
+            pd = p.astype(self.dtype)
+            if self.use_dot:
+                b, h, w, _ = pd.shape
+                if k == 1:
+                    y = pd.reshape(b * h * w, cin) @ kp.reshape(cin, self.features)
+                else:
+                    xp = jnp.pad(pd, ((0, 0), (1, 1), (1, 1), (0, 0)))
+                    cols = [
+                        xp[:, dy : dy + h, dx : dx + w, :]
+                        for dy in range(3) for dx in range(3)
+                    ]
+                    patches = jnp.concatenate(cols, axis=-1).reshape(b * h * w, 9 * cin)
+                    y = patches @ kp.reshape(9 * cin, self.features)
+                y = y.reshape(b, h, w, self.features)
+            else:
+                pad = (k - 1) // 2
+                y = jax.lax.conv_general_dilated(
+                    pd, kp, (1, 1), ((pad, pad), (pad, pad)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            out = y if out is None else out + y
+            off += cin
+        return out + bias.astype(out.dtype)
+
+
+def conv3x3_multi(features: int, name: str, zero_init: bool = False,
+                  dtype: Any = jnp.float32, n_tokens: int = None):
+    return ConvMulti(
+        features, ksize=3, zero_init=zero_init, dtype=dtype, name=name,
+        use_dot=n_tokens is not None and n_tokens <= CONV_DOT_MAX_TOKENS,
+    )
+
+
+def conv1x1_multi(features: int, name: str, zero_init: bool = False,
+                  dtype: Any = jnp.float32, n_tokens: int = None):
+    return ConvMulti(
+        features, ksize=1, zero_init=zero_init, dtype=dtype, name=name,
+        use_dot=n_tokens is not None and n_tokens <= CONV_DOT_MAX_TOKENS,
+    )
+
+
+def conv3x3(features: int, name: str, zero_init: bool = False, dtype: Any = jnp.float32,
+            n_tokens: int = None):
+    if n_tokens is not None and n_tokens <= CONV_DOT_MAX_TOKENS:
+        return Conv3x3AsDot(features, zero_init=zero_init, dtype=dtype, name=name)
     return nn.Conv(
         features,
         kernel_size=(3, 3),
@@ -171,7 +312,35 @@ def conv3x3(features: int, name: str, zero_init: bool = False, dtype: Any = jnp.
     )
 
 
-def conv1x1(features: int, name: str, zero_init: bool = False, dtype: Any = jnp.float32):
+class Conv1x1AsDot(nn.Module):
+    """1x1 conv as an explicit [B*T, Cin] x [Cin, Cout] dot (same param
+    shape/name as nn.Conv with (1,1) kernel) — same rationale as
+    Conv3x3AsDot for the small deep-level maps."""
+
+    features: int
+    zero_init: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, cin = x.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal(),
+            (1, 1, cin, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        out = x.astype(self.dtype).reshape(b * h * w, cin) @ (
+            kernel.astype(self.dtype).reshape(cin, self.features)
+        )
+        out = out + bias.astype(out.dtype)
+        return out.reshape(b, h, w, self.features)
+
+
+def conv1x1(features: int, name: str, zero_init: bool = False, dtype: Any = jnp.float32,
+            n_tokens: int = None):
+    if n_tokens is not None and n_tokens <= CONV_DOT_MAX_TOKENS:
+        return Conv1x1AsDot(features, zero_init=zero_init, dtype=dtype, name=name)
     return nn.Conv(
         features,
         kernel_size=(1, 1),
@@ -193,8 +362,26 @@ def dense(features: int, name: str, zero_init: bool = False, dtype: Any = jnp.fl
 
 
 def upsample_nearest_2x(x: jax.Array) -> jax.Array:
-    """Nearest-neighbor 2x upsample, NHWC (unet.py:179-189)."""
+    """Nearest-neighbor 2x upsample, NHWC (unet.py:179-189).
+
+    On TPU this routes through a Pallas kernel (ops/upsample.py) — XLA's
+    broadcast lowering runs ~3x off the HBM roofline on the big maps; the
+    kernel builds doubled row-blocks in VMEM and stores them contiguously."""
+    import os
+
     b, h, w, c = x.shape
+    # opt-in: XLA may promote <=16MB pallas outputs into scoped vmem and
+    # OOM the stack (observed at [1,64,64,512] -> [1,128,128,512]); the
+    # kernel wins ~0.2ms/step when it compiles, so it stays experimental
+    if (
+        jax.default_backend() == "tpu"
+        and os.environ.get("OSMOSIS_TPU_PALLAS_UPSAMPLE")
+        and c % 128 == 0
+        and h % 2 == 0 and w % 2 == 0
+    ):
+        from ..ops.upsample import upsample_nearest_2x_pallas
+
+        return upsample_nearest_2x_pallas(x)
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b, h * 2, w * 2, c)
 

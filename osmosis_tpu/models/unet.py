@@ -168,7 +168,18 @@ def build_plan(cfg: UNetConfig):
 
 class ResBlock(nn.Module):
     """ResBlock with FiLM scale-shift norm and in-block resampling
-    (unet.py:222-335)."""
+    (unet.py:222-335).
+
+    ``x`` may be a TUPLE (h, skip) representing the skip concatenation
+    WITHOUT materializing it: GroupNorm's 32 groups never straddle the two
+    halves (both halves are multiples of the group width), so
+    GN(concat(a,b)) == concat(GN(a; affine[:Ca]), GN(b; affine[Ca:])) exactly,
+    and the convs split along their input-channel axis
+    (conv(concat, W) == conv(a, W[:, :, :Ca]) + conv(b, W[:, :, Ca:])).
+    This removes the 2x67MB concat write+read per level-0 output block and
+    the matching split/pad traffic in the backward — pure HBM savings, the
+    parameter tree and math are IDENTICAL to the concatenated form.
+    """
 
     out_channels: int
     use_scale_shift_norm: bool = True
@@ -178,17 +189,36 @@ class ResBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, emb: jax.Array, film=None) -> jax.Array:
-        in_ch = x.shape[-1]
-        h = onn.GroupNorm32(name="in_norm")(x)
-        h = onn.silu(h)
+    def __call__(self, x, emb: jax.Array, film=None) -> jax.Array:
+        parts = list(x) if isinstance(x, tuple) else [x]
+        in_ch = sum(p.shape[-1] for p in parts)
+        gw = in_ch // 32  # GroupNorm group width over the virtual concat
+        aligned = all(
+            sum(p.shape[-1] for p in parts[: i + 1]) % gw == 0
+            for i in range(len(parts) - 1)
+        )
+        if len(parts) > 1 and (not aligned or self.out_channels == in_ch):
+            # a group straddles the part boundary (e.g. 512+256=768ch at
+            # level transitions) — materialize the concat, exact old path
+            parts = [jnp.concatenate(parts, axis=-1)]
+
+        # in_norm over the (virtual) concat: per-part GN with sliced affine
+        gn = onn.GroupNorm32(name="in_norm", num_channels=in_ch)
+        c_parts = [p.shape[-1] for p in parts]
+        offs = [sum(c_parts[:i]) for i in range(len(c_parts))]
+        hs = [
+            onn.silu(gn(p, channel_offset=o))
+            for p, o in zip(parts, offs)
+        ]
+        xs = parts
         if self.up:
-            h = onn.upsample_nearest_2x(h)
-            x = onn.upsample_nearest_2x(x)
+            hs = [onn.upsample_nearest_2x(h) for h in hs]
+            xs = [onn.upsample_nearest_2x(p) for p in xs]
         elif self.down:
-            h = onn.avg_pool_2x(h)
-            x = onn.avg_pool_2x(x)
-        h = onn.conv3x3(self.out_channels, "in_conv", dtype=self.dtype)(h)
+            hs = [onn.avg_pool_2x(h) for h in hs]
+            xs = [onn.avg_pool_2x(p) for p in xs]
+        h = onn.conv3x3_multi(self.out_channels, "in_conv", dtype=self.dtype,
+                              n_tokens=hs[0].shape[1] * hs[0].shape[2])(hs)
 
         emb_width = 2 * self.out_channels if self.use_scale_shift_norm else self.out_channels
         if film is not None:
@@ -209,14 +239,17 @@ class ResBlock(nn.Module):
             h = h + emb_out
             h = onn.GroupNorm32(name="out_norm")(h)
             h = onn.silu(h)
-        h = onn.conv3x3(self.out_channels, "out_conv", zero_init=True, dtype=self.dtype)(h)
+        h = onn.conv3x3(self.out_channels, "out_conv", zero_init=True, dtype=self.dtype,
+                        n_tokens=h.shape[1] * h.shape[2])(h)
 
         if self.out_channels == in_ch:
-            skip = x
+            skip = xs[0]
         elif self.use_conv_skip:
-            skip = onn.conv3x3(self.out_channels, "skip", dtype=self.dtype)(x)
+            skip = onn.conv3x3_multi(self.out_channels, "skip", dtype=self.dtype,
+                                     n_tokens=xs[0].shape[1] * xs[0].shape[2])(xs)
         else:
-            skip = onn.conv1x1(self.out_channels, "skip", dtype=self.dtype)(x)
+            skip = onn.conv1x1_multi(self.out_channels, "skip", dtype=self.dtype,
+                                     n_tokens=xs[0].shape[1] * xs[0].shape[2])(xs)
         return skip + h
 
 
@@ -290,7 +323,8 @@ class Upsample(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         x = onn.upsample_nearest_2x(x)
         if self.use_conv:
-            x = onn.conv3x3(self.out_channels, "conv", dtype=self.dtype)(x)
+            x = onn.conv3x3(self.out_channels, "conv", dtype=self.dtype,
+                            n_tokens=x.shape[1] * x.shape[2])(x)
         return x
 
 
@@ -360,7 +394,10 @@ class UNetModel(nn.Module):
         for j, lay in enumerate(middle_block):
             h = apply_layer(h, emb, lay, f"mid_{j}")
         for i, block in enumerate(output_blocks):
-            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            # virtual concat: the first layer of every output block is a
+            # ResBlock, which consumes the (h, skip) pair without
+            # materializing the channel concatenation (see ResBlock)
+            h = (h, hs.pop())
             for j, lay in enumerate(block):
                 h = apply_layer(h, emb, lay, f"out_{i}_{j}")
 

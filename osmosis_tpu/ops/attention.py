@@ -38,34 +38,36 @@ def _attention_ref(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     return jnp.einsum("bhts,bshc->bthc", weights, v)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    # blocks are [1, T, 1, hc] slices of the [B, T, H, hc] inputs —
-    # no host-side transposes, the DMA gathers the head slice directly
-    q = q_ref[0, :, 0, :].astype(jnp.float32) * scale
-    k = k_ref[0, :, 0, :].astype(jnp.float32) * scale
-    v = v_ref[0, :, 0, :]
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - m)
-    w = e / jnp.sum(e, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        w.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0, :, 0, :] = o.astype(o_ref.dtype)
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int):
+    # blocks are [1, T, H, hc] — ALL heads of one batch element live in
+    # VMEM; the per-head matmuls are unrolled so one grid program keeps the
+    # MXU pipeline busy instead of paying grid overhead per (batch, head)
+    for h in range(heads):
+        q = q_ref[0, :, h, :].astype(jnp.float32) * scale
+        k = k_ref[0, :, h, :].astype(jnp.float32) * scale
+        v = v_ref[0, :, h, :]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        w = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            w.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, h, :] = o.astype(o_ref.dtype)
 
 
 def _pallas_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     b, t, h, hc = q.shape
     scale = float(1.0 / (hc ** 0.25))
     spec = pl.BlockSpec(
-        (1, t, 1, hc), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM
+        (1, t, h, hc), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
-        grid=(b, h),
+        functools.partial(_attn_kernel, scale=scale, heads=h),
+        grid=(b,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, t, h, hc), q.dtype),

@@ -55,6 +55,9 @@ def main():
     params = jax.jit(model.init)(
         jax.random.key(0), jnp.zeros((1, hw, hw, 4)), jnp.zeros((1,))
     )
+    from osmosis_tpu.models.convert import cast_params_half
+
+    params = cast_params_half(params)
 
     schedule = make_schedule("linear", 1000, timestep_respacing=T)
     operator = get_operator(
