@@ -189,7 +189,7 @@ class ResBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb: jax.Array, film=None) -> jax.Array:
+    def __call__(self, x, emb: jax.Array) -> jax.Array:
         parts = list(x) if isinstance(x, tuple) else [x]
         in_ch = sum(p.shape[-1] for p in parts)
         gw = in_ch // 32  # GroupNorm group width over the virtual concat
@@ -221,13 +221,7 @@ class ResBlock(nn.Module):
                               n_tokens=hs[0].shape[1] * hs[0].shape[2])(hs)
 
         emb_width = 2 * self.out_channels if self.use_scale_shift_norm else self.out_channels
-        if film is not None:
-            # precomputed emb_proj output (timestep-only), hoisted out of the
-            # sampling scan; the emb_proj params in the tree are simply
-            # unused in this mode (flax lookup is lazy)
-            emb_out = film
-        else:
-            emb_out = onn.dense(emb_width, "emb_proj", dtype=self.dtype)(onn.silu(emb))
+        emb_out = onn.dense(emb_width, "emb_proj", dtype=self.dtype)(onn.silu(emb))
         emb_out = emb_out[:, None, None, :].astype(h.dtype)
 
         if self.use_scale_shift_norm:
@@ -338,7 +332,7 @@ class UNetModel(nn.Module):
     cfg: UNetConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array, timesteps: jax.Array, film=None) -> jax.Array:
+    def __call__(self, x: jax.Array, timesteps: jax.Array) -> jax.Array:
         cfg = self.cfg
         input_blocks, middle_block, output_blocks = build_plan(cfg)
 
@@ -358,7 +352,7 @@ class UNetModel(nn.Module):
                     down=lay["kind"] == "res_down",
                     dtype=cfg.dtype,
                     name=name,
-                )(h, emb, film[name] if film is not None else None)
+                )(h, emb)
             if lay["kind"] == "attn":
                 return attn_cls(
                     num_heads=lay["heads"], dtype=cfg.dtype,
@@ -374,16 +368,11 @@ class UNetModel(nn.Module):
                 )(h)
             raise ValueError(lay["kind"])
 
-        # timestep embedding MLP (unet.py:549-554,727); skipped entirely in
-        # FiLM-table mode (initialize the model WITHOUT film so the param
-        # tree is complete)
-        if film is None:
-            emb = onn.timestep_embedding(timesteps, cfg.model_channels)
-            emb = onn.dense(cfg.time_embed_dim, "time_dense0", dtype=cfg.dtype)(emb)
-            emb = onn.silu(emb)
-            emb = onn.dense(cfg.time_embed_dim, "time_dense1", dtype=cfg.dtype)(emb)
-        else:
-            emb = None
+        # timestep embedding MLP (unet.py:549-554,727)
+        emb = onn.timestep_embedding(timesteps, cfg.model_channels)
+        emb = onn.dense(cfg.time_embed_dim, "time_dense0", dtype=cfg.dtype)(emb)
+        emb = onn.silu(emb)
+        emb = onn.dense(cfg.time_embed_dim, "time_dense1", dtype=cfg.dtype)(emb)
 
         h = x.astype(cfg.dtype)
         hs = []
@@ -428,60 +417,3 @@ def res_layer_names(cfg: UNetConfig):
         for j, lay in enumerate(block):
             visit(lay, f"out_{i}_{j}")
     return names, widths
-
-
-def precompute_film_tables(cfg: UNetConfig, params, model_timesteps):
-    """Hoist every timestep-only computation out of the sampling scan.
-
-    The time-embed MLP and all per-ResBlock emb projections depend only on
-    the (static) timestep table, so they run ONCE here: returns
-    {block_name: [T, emb_width]} FiLM tables to gather per step. At batch 1
-    these were ~38 serial vector-matmuls per step on the MXU.
-    """
-    from . import nn as onn2
-
-    p = params["params"]
-    emb = onn2.timestep_embedding(
-        jnp.asarray(model_timesteps), cfg.model_channels
-    )
-    k0, b0 = p["time_dense0"]["kernel"], p["time_dense0"]["bias"]
-    k1, b1 = p["time_dense1"]["kernel"], p["time_dense1"]["bias"]
-    emb = onn2.silu(emb.astype(k0.dtype) @ k0 + b0) @ k1 + b1  # [T, 4*mc]
-    semb = onn2.silu(emb)
-
-    names, _ = res_layer_names(cfg)
-    tables = {}
-    for name in names:
-        pk = p[name]["emb_proj"]
-        tables[name] = semb @ pk["kernel"] + pk["bias"]  # [T, width]
-    return tables
-
-
-def gather_film(tables, model_timesteps, t_float):
-    """Pick each block's FiLM row for (float) model timestep t_float[0]."""
-    mt = jnp.asarray(model_timesteps)
-    idx = jnp.clip(jnp.searchsorted(mt, t_float[0]), 0, mt.shape[0] - 1)
-    return {name: tab[idx][None] for name, tab in tables.items()}
-
-
-def make_film_model_fn(model: "UNetModel", params, model_timesteps,
-                       timestep_offset: float = 0.0, tables=None):
-    """model_fn(x, t_float) that gathers precomputed FiLM rows by timestep.
-
-    `model_timesteps` must be the same table the sampler feeds the model
-    (DiffusionSchedule.model_timesteps() + offset).
-
-    IMPORTANT for jit users: pass `params` AND `tables` into your jitted
-    function as ARGUMENTS and build the closure inside — tables captured as
-    closure constants get baked into the HLO (~150 MB for the production
-    model) and can exceed compile-service request limits.
-    """
-    mt = jnp.asarray(model_timesteps) + timestep_offset
-    if tables is None:
-        tables = precompute_film_tables(model.cfg, params, mt)
-
-    def model_fn(x, t_float):
-        film = gather_film(tables, mt, t_float)
-        return model.apply(params, x, t_float, film=film)
-
-    return model_fn

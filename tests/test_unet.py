@@ -151,27 +151,3 @@ def test_jit_and_determinism(tiny_model):
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
 
 
-def test_film_tables_match_standard_forward():
-    """Precomputed FiLM tables (timestep-only matmuls hoisted out of the
-    scan) are numerically identical to the standard forward."""
-    from osmosis_tpu.models.unet import make_film_model_fn
-
-    model = UNetModel(TINY)
-    x = jax.random.normal(jax.random.key(11), (2, 32, 32, 4))
-    params = model.init(jax.random.key(0), x, jnp.zeros((2,)))
-    mt = np.arange(25, dtype=np.float32)
-    film_fn = make_film_model_fn(model, params, mt)
-    for t in [0.0, 13.0, 24.0]:
-        tb = jnp.full((2,), t)
-        np.testing.assert_allclose(
-            np.asarray(film_fn(x, tb)),
-            np.asarray(model.apply(params, x, tb)),
-            rtol=2e-5, atol=2e-5,
-        )
-    # offset variant (prior sampler semantics)
-    film_fn_off = make_film_model_fn(model, params, mt, timestep_offset=1.0)
-    tb = jnp.full((2,), 5.0 + 1.0)
-    np.testing.assert_allclose(
-        np.asarray(film_fn_off(x, tb)),
-        np.asarray(model.apply(params, x, tb)), rtol=2e-5, atol=2e-5,
-    )
