@@ -13,9 +13,8 @@ Feature-for-feature rebuild of the reference UNetModel
   * fp32 GroupNorm islands + fp32 softmax, bf16-able torso (nn.py:17-19)
 
 TPU design: NHWC layout (XLA-native conv layout), one static architecture
-plan shared with the torch→flax checkpoint converter, optional jax remat on
-blocks (replaces the reference's CheckpointFunction, nn.py:124-170), and a
-Pallas fused-attention path for the 1024/256/64-token maps.
+plan shared with the torch→flax checkpoint converter, and optional jax remat
+on blocks (replaces the reference's CheckpointFunction, nn.py:124-170).
 """
 
 from __future__ import annotations
@@ -50,7 +49,6 @@ class UNetConfig:
     use_new_attention_order: bool = False
     dtype: Any = jnp.float32
     remat: bool = False
-    use_pallas_attention: bool = False
 
     @property
     def time_embed_dim(self) -> int:
@@ -258,7 +256,6 @@ class AttentionBlock(nn.Module):
 
     num_heads: int
     dtype: Any = jnp.float32
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -271,18 +268,16 @@ class AttentionBlock(nn.Module):
         qkv = qkv.reshape(b, t, 3, self.num_heads, hc)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, T, H, hc]
 
-        if self.use_pallas:
-            from ..ops.attention import fused_attention
-
-            a = fused_attention(q, k, v)
-        else:
-            scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(hc, jnp.float32))).astype(q.dtype)
-            logits = jnp.einsum(
-                "bthc,bshc->bhts", q * scale, k * scale,
-                preferred_element_type=jnp.float32,
-            )
-            weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
-            a = jnp.einsum("bhts,bshc->bthc", weights, v)
+        # XLA's fused path is HBM-roofline-bound at these sizes; a Pallas
+        # attention kernel was built, measured slower, and deleted (PERF.md
+        # round 2: attention is ~0.6 ms of the 43 ms guided step)
+        scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(hc, jnp.float32))).astype(q.dtype)
+        logits = jnp.einsum(
+            "bthc,bshc->bhts", q * scale, k * scale,
+            preferred_element_type=jnp.float32,
+        )
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+        a = jnp.einsum("bhts,bshc->bthc", weights, v)
 
         a = a.reshape(b, t, c)
         proj = onn.dense(c, "proj", zero_init=True, dtype=self.dtype)(a)
@@ -356,7 +351,7 @@ class UNetModel(nn.Module):
             if lay["kind"] == "attn":
                 return attn_cls(
                     num_heads=lay["heads"], dtype=cfg.dtype,
-                    use_pallas=cfg.use_pallas_attention, name=name,
+                    name=name,
                 )(h)
             if lay["kind"] == "down":
                 return Downsample(

@@ -56,8 +56,6 @@ def main():
         ("fp32", UNetConfig(**base), params),
         ("bf16-compute fp32-store", UNetConfig(**base, dtype=jnp.bfloat16), params),
         ("bf16-compute bf16-store", UNetConfig(**base, dtype=jnp.bfloat16), params_bf16),
-        ("bf16 + pallas-attn", UNetConfig(**base, dtype=jnp.bfloat16,
-                                          use_pallas_attention=True), params_bf16),
     ]
 
     for name, cfg, p in variants:
@@ -73,8 +71,6 @@ def main():
         ("bf16 store, remat", UNetConfig(**base, dtype=jnp.bfloat16, remat=True),
          params_bf16),
         ("bf16 store, no-remat", UNetConfig(**base, dtype=jnp.bfloat16), params_bf16),
-        ("bf16 + pallas, no-remat", UNetConfig(**base, dtype=jnp.bfloat16,
-                                               use_pallas_attention=True), params_bf16),
     ]:
         model = UNetModel(cfg)
 
