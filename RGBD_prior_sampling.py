@@ -18,9 +18,21 @@ def main():
         "--bf16", action="store_true",
         help="Run the UNet torso in bfloat16 (fp32 GroupNorm islands kept)",
     )
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="initialize jax.distributed; sample indices stride across hosts",
+    )
+    parser.add_argument("--coordinator", default=None, metavar="HOST:PORT")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args()
     config_file = os.path.abspath(args.config_file)
     print(f"\nConfiguration file:\n{config_file}\n")
+
+    if args.multihost or args.coordinator is not None:
+        from osmosis_tpu.parallel import multihost as MH
+
+        MH.initialize(args.coordinator, args.num_processes, args.process_id)
 
     import jax.numpy as jnp
 

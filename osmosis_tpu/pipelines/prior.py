@@ -38,16 +38,29 @@ def run_prior_sampling(
     devices = jax.local_devices()
     device = devices[min(device_index, len(devices) - 1)]
 
+    # multi-host: sample indices stride across processes into a shared
+    # run dir (same topology as restore.py — see parallel/multihost.py)
+    from ..parallel import multihost as MH
+
+    multihost = MH.is_multihost()
+
     out_path = os.path.abspath(
         pjoin(save_dir_override or args.save_dir, "RGBD_prior")
     )
-    out_path = update_save_dir_date(out_path)
+    if multihost:
+        if jax.process_index() == 0:
+            out_path = update_save_dir_date(out_path)
+        MH.barrier("prior_rundir")
+        if jax.process_index() != 0:
+            out_path = update_save_dir_date(out_path, resume=True)
+    else:
+        out_path = update_save_dir_date(out_path)
     C.config_snapshot(config_file, pjoin(out_path, "configurations.txt"))
     paths = make_output_dirs(
         out_path, args.save_singles, args.save_grids,
         singles_subdirs=("rgb", "depth_color"),
     )
-    logger = L.configure(out_path)
+    logger = L.configure(out_path, rank_suffix=MH.rank_suffix() if multihost else "")
     logger.log(f"pretrained model file: {args.unet_model['model_path']}")
 
     if args.unet_model.get("use_fp16"):
@@ -88,6 +101,8 @@ def run_prior_sampling(
     base_key = jax.random.key(args.manual_seed)
 
     for im_idx in range(args.number_of_images):
+        if multihost and (im_idx % jax.process_count()) != jax.process_index():
+            continue  # another host samples this index
         start_time = datetime.datetime.now()
         logger.log(f"\nInference image {im_idx}/{args.number_of_images}\n")
         k = jax.random.fold_in(base_key, im_idx)
@@ -128,6 +143,8 @@ def run_prior_sampling(
                 )
         logger.log(f"Run time: {datetime.datetime.now() - start_time}")
 
+    if multihost:
+        MH.barrier("prior_done")
     logger.close()
     return out_path
 
