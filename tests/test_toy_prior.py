@@ -1,0 +1,86 @@
+"""Toy-prior training machinery: scene generator statistics and a short
+CPU training run whose loss must drop (the full on-device training +
+end-to-end quality validation lives in tools/train_toy_prior.py +
+tools/validate_toy_e2e.py and runs on the chip — see VALIDATION.md)."""
+
+import importlib.util
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+_spec = importlib.util.spec_from_file_location(
+    "train_toy_prior",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "train_toy_prior.py"),
+)
+ttp = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(ttp)
+
+
+def test_scene_generator_stats():
+    x = ttp.synth_scene_batch(jax.random.key(0), 8, 32)
+    assert x.shape == (8, 32, 32, 4)
+    a = np.asarray(x)
+    assert a.min() >= -1.0 and a.max() <= 1.0
+    # smooth fields: neighboring pixels correlate strongly
+    d = np.abs(a[:, 1:, :, :] - a[:, :-1, :, :]).mean()
+    assert d < 0.1, f"scenes not smooth (mean |grad| {d})"
+    # scenes differ across batch and keys
+    assert np.abs(a[0] - a[1]).mean() > 0.05
+    y = np.asarray(ttp.synth_scene_batch(jax.random.key(1), 8, 32))
+    assert np.abs(a - y).mean() > 0.05
+    # depth correlates with luminance by construction
+    lum = a[..., :3].mean(-1).ravel()
+    corr = np.corrcoef(lum, a[..., 3].ravel())[0, 1]
+    assert corr > 0.03  # weak by design: depth has a dominant independent component
+
+
+def test_short_training_reduces_loss():
+    import optax
+
+    from osmosis_tpu.diffusion.schedules import make_schedule
+    from osmosis_tpu.models import UNetConfig, UNetModel
+
+    size, T = 16, 100
+    cfg = UNetConfig(
+        image_size=size, in_channels=4, out_channels=8, model_channels=32,
+        num_res_blocks=1, attention_resolutions=(4,), channel_mult=(1, 2),
+        num_head_channels=16, use_scale_shift_norm=True, resblock_updown=True,
+    )
+    model = UNetModel(cfg)
+    params = model.init(jax.random.key(0), jnp.zeros((1, size, size, 4)),
+                        jnp.zeros((1,)))
+    consts = make_schedule("linear", T).device_constants()
+    sab = jnp.asarray(consts["sqrt_alphas_cumprod"])
+    s1m = jnp.asarray(consts["sqrt_one_minus_alphas_cumprod"])
+    tx = optax.adam(1e-3)
+    st = tx.init(params)
+
+    def loss_fn(p, key):
+        kb, kt, ke = jax.random.split(key, 3)
+        x0 = ttp.synth_scene_batch(kb, 16, size)
+        t = jax.random.randint(kt, (16,), 0, T)
+        eps = jax.random.normal(ke, x0.shape)
+        xt = sab[t][:, None, None, None] * x0 + s1m[t][:, None, None, None] * eps
+        return jnp.mean((model.apply(p, xt, t.astype(jnp.float32))[..., :4] - eps) ** 2)
+
+    @jax.jit
+    def step(p, s, key):
+        l, g = jax.value_and_grad(loss_fn)(p, key)
+        u, s = tx.update(g, s, p)
+        return optax.apply_updates(p, u), s, l
+
+    key = jax.random.key(1)
+    losses = []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        params, st, l = step(params, st, sub)
+        losses.append(float(l))
+    first = np.mean(losses[:5])
+    last = np.mean(losses[-5:])
+    assert last < 0.8 * first, f"no learning: {first:.3f} -> {last:.3f}"
+    assert np.isfinite(losses).all()

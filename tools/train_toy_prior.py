@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Train a toy RGBD diffusion prior on synthetic scenes, on-device.
+
+The reference ships a pretrained 550M checkpoint that is NOT in this
+container, so restoration quality has never been measurable here. This tool
+closes the loop at small scale: it trains a small RGBD UNet prior on
+procedurally generated scenes (smooth color fields + correlated smooth
+depth), entirely on-device (data synthesis inside the jit — no host input
+pipeline), producing a checkpoint that tools/validate_toy_e2e.py uses to
+demonstrate the FULL guided-restoration stack quantitatively
+(degrade with known water parameters -> restore -> PSNR/depth metrics).
+
+Training is epsilon-prediction DDPM (Ho et al.; the reference model's
+learned-variance head is left untrained and sampling uses fixed_small,
+which the unified sampler supports). The train loop runs in scan-chunks of
+--chunk steps per device call to amortize the relay dispatch overhead, with
+an EMA of parameters saved alongside the raw ones.
+
+    python tools/train_toy_prior.py --steps 6000 --out checkpoints/toy_prior.msgpack
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def synth_scene_batch(key, batch, size):
+    """Procedural RGBD scenes in [-1, 1], NHWC [B, size, size, 4].
+
+    RGB: sum of two random low-frequency fields (4x4 and 8x8 lattices,
+    bilinearly upsampled) with random per-channel gains/offsets.
+    Depth: an independent smooth field, plus a contribution from RGB
+    luminance so the joint RGB-depth statistics are learnable.
+    """
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+
+    def field(k, lattice, ch):
+        small = jax.random.uniform(k, (batch, lattice, lattice, ch),
+                                   minval=-1.0, maxval=1.0)
+        return jax.image.resize(small, (batch, size, size, ch), "bilinear")
+
+    rgb = 0.7 * field(k1, 4, 3) + 0.3 * field(k2, 8, 3)
+    gain = jax.random.uniform(k3, (batch, 1, 1, 3), minval=0.6, maxval=1.0)
+    rgb = jnp.clip(rgb * gain, -1.0, 1.0)
+
+    depth = 0.8 * field(k4, 4, 1) + 0.2 * field(k5, 8, 1)
+    lum = jnp.mean(rgb, axis=-1, keepdims=True)
+    depth = jnp.clip(0.7 * depth + 0.3 * lum, -1.0, 1.0)
+    return jnp.concatenate([rgb, depth], axis=-1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--chunk", type=int, default=100,
+                    help="train steps per device call (amortizes dispatch)")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--size", type=int, default=32)
+    ap.add_argument("--channels", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--ema", type=float, default=0.999)
+    ap.add_argument("--T", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="checkpoints/toy_prior.msgpack")
+    args = ap.parse_args()
+
+    import optax
+
+    from osmosis_tpu.diffusion.schedules import make_schedule
+    from osmosis_tpu.models import UNetConfig, UNetModel
+    from osmosis_tpu.models.convert import save_params_msgpack
+    from osmosis_tpu.utils.compilation_cache import enable as _enable
+
+    _enable()
+
+    cfg = UNetConfig(
+        image_size=args.size, in_channels=4, out_channels=8,
+        model_channels=args.channels, num_res_blocks=2,
+        attention_resolutions=(4,), channel_mult=(1, 2),
+        num_head_channels=32, use_scale_shift_norm=True,
+        resblock_updown=True,
+    )
+    model = UNetModel(cfg)
+    params = jax.jit(model.init)(
+        jax.random.key(args.seed),
+        jnp.zeros((1, args.size, args.size, 4)), jnp.zeros((1,)),
+    )
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    print(f"toy prior: {n_params / 1e6:.2f}M params", file=sys.stderr)
+
+    schedule = make_schedule("linear", args.T)
+    consts = schedule.device_constants()
+    sqrt_ab = jnp.asarray(consts["sqrt_alphas_cumprod"])
+    sqrt_1mab = jnp.asarray(consts["sqrt_one_minus_alphas_cumprod"])
+
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(params)
+    ema = jax.tree_util.tree_map(lambda p: p, params)
+
+    def loss_fn(p, key):
+        kb, kt, ke = jax.random.split(key, 3)
+        x0 = synth_scene_batch(kb, args.batch, args.size)
+        t = jax.random.randint(kt, (args.batch,), 0, args.T)
+        eps = jax.random.normal(ke, x0.shape)
+        xt = sqrt_ab[t][:, None, None, None] * x0 + \
+            sqrt_1mab[t][:, None, None, None] * eps
+        out = model.apply(p, xt, t.astype(jnp.float32))
+        pred_eps = out[..., :4]
+        return jnp.mean((pred_eps - eps.astype(pred_eps.dtype)) ** 2)
+
+    def train_chunk(carry, _):
+        p, s, e, key = carry
+        key, sub = jax.random.split(key)
+        loss, grads = jax.value_and_grad(loss_fn)(p, sub)
+        updates, s = tx.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        e = jax.tree_util.tree_map(
+            lambda a, b: args.ema * a + (1 - args.ema) * b, e, p
+        )
+        return (p, s, e, key), loss
+
+    @jax.jit
+    def run_chunk(p, s, e, key):
+        (p, s, e, key), losses = jax.lax.scan(
+            train_chunk, (p, s, e, key), None, length=args.chunk
+        )
+        return p, s, e, key, losses.mean(), losses[-1]
+
+    key = jax.random.key(args.seed + 1)
+    t0 = time.perf_counter()
+    done = 0
+    while done < args.steps:
+        params, opt_state, ema, key, mean_l, last_l = run_chunk(
+            params, opt_state, ema, key
+        )
+        done += args.chunk
+        if done % (args.chunk * 5) == 0 or done >= args.steps:
+            el = time.perf_counter() - t0
+            print(f"step {done:6d}  loss {float(mean_l):.4f} "
+                  f"(last {float(last_l):.4f})  {done / el:.1f} steps/s",
+                  file=sys.stderr, flush=True)
+
+    import os
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    save_params_msgpack(jax.device_get(ema), args.out)
+    raw_out = args.out.replace(".msgpack", "_raw.msgpack")
+    save_params_msgpack(jax.device_get(params), raw_out)
+    print(json.dumps({
+        "steps": args.steps, "params_m": round(n_params / 1e6, 2),
+        "final_loss": round(float(mean_l), 4),
+        "ema": args.out, "raw": raw_out,
+        "train_steps_per_sec": round(args.steps / (time.perf_counter() - t0), 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
