@@ -54,7 +54,10 @@ def synth_scene_batch(key, batch, size):
 
     depth = 0.8 * field(k4, 4, 1) + 0.2 * field(k5, 8, 1)
     lum = jnp.mean(rgb, axis=-1, keepdims=True)
-    depth = jnp.clip(0.7 * depth + 0.3 * lum, -1.0, 1.0)
+    # strong RGB-depth coupling: natural scenes make depth largely
+    # predictable from appearance, which is what lets the real prior
+    # hallucinate depth during guided restoration
+    depth = jnp.clip(0.35 * depth + 0.65 * lum, -1.0, 1.0)
     return jnp.concatenate([rgb, depth], axis=-1)
 
 
