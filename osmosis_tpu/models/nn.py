@@ -387,5 +387,11 @@ def upsample_nearest_2x(x: jax.Array) -> jax.Array:
 
 
 def avg_pool_2x(x: jax.Array) -> jax.Array:
-    """2x2 average pool, stride 2, NHWC (unet.py:215)."""
-    return nn.avg_pool(x, window_shape=(2, 2), strides=(2, 2))
+    """2x2 average pool, stride 2, NHWC (unet.py:215).
+
+    Written as reshape+mean rather than reduce_window: identical math, but
+    the autodiffed backward is a broadcast instead of a select-and-scatter
+    style pattern, and both directions fuse into neighboring elementwise
+    ops."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))

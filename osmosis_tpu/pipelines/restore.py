@@ -264,6 +264,48 @@ def run_restoration(
         logger.close()
         return out_path
 
+    # OPTIONAL async postprocessing (OSMOSIS_TPU_ASYNC_SAVE=1): a worker
+    # thread fetches+saves while the device runs the next chain. Measured
+    # NEGATIVE through the axon relay (fetch-during-execute contention:
+    # ~20 s/image vs 12 s synchronous on the fast preset), so the default
+    # is synchronous; the knob exists for direct-attached TPUs.
+    import concurrent.futures as _cf
+
+    async_save = bool(os.environ.get("OSMOSIS_TPU_ASYNC_SAVE"))
+    saver = _cf.ThreadPoolExecutor(max_workers=1) if async_save else None
+    pending = []
+
+    def _await_saves():
+        for f in pending:
+            f.result()  # re-raises worker exceptions
+        pending.clear()
+
+    def _finish_image(res, ref_np, ref_img_name, orig_name, global_ii,
+                      gt, start_time):
+        res = jax.tree_util.tree_map(np.asarray, res)
+        with prof.phase("postprocess+save"):
+            if rgb_guidance:
+                _save_rgb_guidance_outputs(
+                    args, paths, orig_name, ref_np[0],
+                    np.asarray(res.sample)[0], logger,
+                )
+            else:
+                _save_osmosis_outputs(
+                    args, paths, orig_name, global_ii, ref_np[0], res, operator,
+                    measure_config, logger, gt=gt,
+                )
+            if record_every is not None and paths["grids"] is not None:
+                _save_process_grid(
+                    res.snapshots, pjoin(paths["grids"], f"{orig_name}_process.png")
+                )
+        dt = datetime.datetime.now() - start_time
+        logger.log(f"Run time: {dt}")
+        logger.logkv("image", ref_img_name)
+        logger.logkv("global_iter", global_ii)
+        logger.logkv("seconds", dt.total_seconds())
+        logger.logkv("final_loss", float(np.asarray(res.sep_loss)[-1].mean()))
+        logger.dumpkvs()
+
     for i, (ref_img, ref_img_name) in enumerate(dataset):
         if i == stop_after:
             break
@@ -305,32 +347,25 @@ def run_restoration(
                     params, x_start, y, jax.random.fold_in(key, 1),
                     phi_carry, opt_carry,
                 )
-                res = jax.tree_util.tree_map(np.asarray, res)
+            # device arrays thread into the next global iteration without a
+            # host round-trip; the save path fetches its own copy
             phi_carry, opt_carry = res.phi, res.opt_state
+            gt = (gt_rgb, gt_depth) if gt_flag else None
+            if async_save:
+                pending.append(saver.submit(
+                    _finish_image, res, ref_np, ref_img_name, orig_name,
+                    global_ii, gt, start_time,
+                ))
+            else:
+                _finish_image(res, ref_np, ref_img_name, orig_name,
+                              global_ii, gt, start_time)
+        # surface worker failures promptly (at most one image behind)
+        if async_save and len(pending) > 2 * max(global_N, 1):
+            _await_saves()
 
-            with prof.phase("postprocess+save"):
-                if rgb_guidance:
-                    _save_rgb_guidance_outputs(
-                        args, paths, orig_name, ref_np[0],
-                        np.asarray(res.sample)[0], logger,
-                    )
-                else:
-                    _save_osmosis_outputs(
-                        args, paths, orig_name, global_ii, ref_np[0], res, operator,
-                        measure_config, logger,
-                        gt=(gt_rgb, gt_depth) if gt_flag else None,
-                    )
-                if record_every is not None and paths["grids"] is not None:
-                    _save_process_grid(
-                        res.snapshots, pjoin(paths["grids"], f"{orig_name}_process.png")
-                    )
-            dt = datetime.datetime.now() - start_time
-            logger.log(f"Run time: {dt}")
-            logger.logkv("image", ref_img_name)
-            logger.logkv("global_iter", global_ii)
-            logger.logkv("seconds", dt.total_seconds())
-            logger.logkv("final_loss", float(np.asarray(res.sep_loss)[-1].mean()))
-            logger.dumpkvs()
+    _await_saves()
+    if saver is not None:
+        saver.shutdown(wait=True)
 
     if multihost:
         # all hosts finish their slices before rank 0's summary is complete
