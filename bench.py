@@ -185,13 +185,13 @@ def main():
         "value": round(guided_sps, 3),
         "unit": "steps/sec",
         # fraction of the driver's aspirational 100 steps/s north star; the
-        # reference publishes NO numbers and the single-chip physical floor
-        # for this workload is ~29.4 steps/s (6.7 TFLOP/step at v5e peak) —
-        # see PERF.md / BASELINE.md
+        # reference publishes NO numbers. The single-chip MXU bound for this
+        # workload is ~44 steps/s (fwd + dgrad-only backward ~4.5 TFLOP/step
+        # at v5e bf16 peak — PERF.md round-2 corrected accounting)
         "vs_baseline": round(guided_sps / TARGET_STEPS_PER_SEC, 4),
         "note": (
-            f"reference publishes no perf numbers; single-chip physical "
-            f"floor ~29.4 steps/s -> {guided_sps / 29.4:.0%} of ceiling; "
+            f"reference publishes no perf numbers; single-chip MXU bound "
+            f"~44 steps/s -> {guided_sps / 44.0:.0%} of bound; "
             f"prior sampling {prior_sps:.1f} steps/s; reference torch-CPU "
             f"fwd alone is 27.6 s"
         ),

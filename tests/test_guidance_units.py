@@ -162,3 +162,49 @@ def test_pattern_masks_truth_table(pattern):
             or pattern["start_guidance"] * T >= t >= pattern["stop_guidance"] * T
         )
         assert masks["guidance"][t] == guidance_ref, t
+
+
+def test_guided_chain_jit_determinism():
+    """SURVEY section 5: jit-determinism as the race-detector equivalent —
+    identical seeds must produce bit-identical chains across fresh jits."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from osmosis_tpu.diffusion import make_schedule
+    from osmosis_tpu.diffusion.guided import GuidanceConfig, guided_sample_loop
+    from osmosis_tpu.diffusion.sampler import SamplerConfig
+    from osmosis_tpu.guidance.operators import get_operator
+
+    sch = make_schedule("cosine", 8)
+    op = get_operator(
+        "underwater_physical_revised", batch_size=1, optimizer="sgd",
+        depth_type="gamma", value="1.4,1.4,1",
+        phi_a="1.1,0.95,0.95", phi_b="0.95,0.8,0.8", phi_inf="0.14,0.29,0.49",
+    )
+    pattern = dict(pattern="pcgs", update_start=0.7, update_end=0, global_N=1,
+                   local_M=1, s_start=1, s_end=0, n_iter=2, start_guidance=1,
+                   stop_guidance=0)
+    gcfg = GuidanceConfig.from_config(
+        "osmosis",
+        dict(loss_function="norm", loss_weight="depth",
+             weight_function="gamma,1.4,1.4,1", scale="7,7,7,0.9",
+             gradient_x_prev=True, gradient_clip="True,0.005"),
+        pattern, None,
+    )
+
+    def model(x, t):
+        tb = t.astype(jnp.float32).reshape(-1, 1, 1, 1)
+        return jnp.concatenate([0.3 * x + 0.001 * tb, 0.1 * x], axis=-1)
+
+    x0 = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+    y = jax.random.uniform(jax.random.key(1), (1, 8, 8, 3), minval=-1.0)
+
+    outs = []
+    for _ in range(2):  # two FRESH jits of the same program
+        fn = jax.jit(lambda p, x, yy, k: guided_sample_loop(
+            model, sch, x, yy, k, op, gcfg, SamplerConfig(clip_denoised=True),
+            sample_pattern=pattern,
+        ).sample)
+        outs.append(np.asarray(fn(None, x0, y, jax.random.key(2))))
+    np.testing.assert_array_equal(outs[0], outs[1])
