@@ -41,21 +41,27 @@ def bench_variant(name, patch=None, image_size=256, batch=1, attn=(8, 16, 32)):
     class IdentityGN(_nn.Module):
         num_groups: int = 32
         epsilon: float = 1e-5
+        num_channels: int = None
 
         @_nn.compact
-        def __call__(self, x):
+        def __call__(self, x, channel_offset: int = 0):
+            c_total = self.num_channels or x.shape[-1]
             c = x.shape[-1]
-            scale = self.param("scale", _nn.initializers.ones, (c,), jnp.float32)
-            bias = self.param("bias", _nn.initializers.zeros, (c,), jnp.float32)
-            return (x.astype(jnp.float32) * scale + bias).astype(x.dtype)
+            scale = self.param("scale", _nn.initializers.ones, (c_total,), jnp.float32)
+            bias = self.param("bias", _nn.initializers.zeros, (c_total,), jnp.float32)
+            sl = slice(channel_offset, channel_offset + c)
+            return (x.astype(jnp.float32) * scale[sl] + bias[sl]).astype(x.dtype)
 
     class Bf16GN(_nn.Module):
         num_groups: int = 32
         epsilon: float = 1e-5
+        num_channels: int = None
 
         @_nn.compact
-        def __call__(self, x):
+        def __call__(self, x, channel_offset: int = 0):
             c = x.shape[-1]
+            assert channel_offset == 0 and (self.num_channels or c) == c, (
+                "bf16_gn ablation does not support the concat-free slicing")
             scale = self.param("scale", _nn.initializers.ones, (c,), jnp.float32)
             bias = self.param("bias", _nn.initializers.zeros, (c,), jnp.float32)
             g = 32
