@@ -370,12 +370,16 @@ def upsample_nearest_2x(x: jax.Array) -> jax.Array:
     import os
 
     b, h, w, c = x.shape
-    # opt-in: XLA may promote <=16MB pallas outputs into scoped vmem and
-    # OOM the stack (observed at [1,64,64,512] -> [1,128,128,512]); the
-    # kernel wins ~0.2ms/step when it compiles, so it stays experimental
+    # OPT-IN ONLY (OSMOSIS_TPU_PALLAS_UPSAMPLE=1), kept for documentation:
+    # measured 24% WORSE end-to-end when enabled at the >16MB sites (Mosaic
+    # lowers the in-kernel broadcast+reshape far below roofline: prior
+    # sampling 19 -> 32 ms/step), and at <=16MB outputs XLA's scoped-vmem
+    # promotion OOMs the stack. XLA's broadcast fusion wins; see PERF.md.
+    out_bytes = 4 * h * w * c * x.dtype.itemsize
     if (
         jax.default_backend() == "tpu"
         and os.environ.get("OSMOSIS_TPU_PALLAS_UPSAMPLE")
+        and out_bytes > 17 * 1024 * 1024
         and c % 128 == 0
         and h % 2 == 0 and w % 2 == 0
     ):

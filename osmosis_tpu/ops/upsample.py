@@ -68,19 +68,11 @@ def _up_fwd(x):
 
 
 def _up_bwd(_, g):
+    # XLA reshape-sum backward: the pallas down-kernel's (smaller) output
+    # is exactly the <=16MB size class XLA promotes into scoped vmem, which
+    # OOMs the stack — the reshape-sum is roofline-bound anyway
     b, h2, w2, c = g.shape
-    h, w = h2 // 2, w2 // 2
-    hb = _pick_hb(h, w, c)
-    grid = (b, h // hb)
-    dx = pl.pallas_call(
-        _down_kernel,
-        grid=grid,
-        in_specs=[pl.BlockSpec((1, 2 * hb, w2, c), lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, hb, w, c), lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c), g.dtype),
-    )(g)
+    dx = g.reshape(b, h2 // 2, 2, w2 // 2, 2, c).sum(axis=(2, 4))
     return (dx,)
 
 
