@@ -260,6 +260,37 @@ def guided_sample_loop(
 
     zero_aux = {k: jnp.zeros(()) for k in aux_names}
 
+    # ---- LTSP splitting mode (arXiv 2301.11558) ---------------------------
+    # Lie-Trotter split of the guided reverse process: the DIFFUSION substep
+    # uses a 4th-order PLMS (Adams-Bashforth on eps, warmup AB1..AB3) over a
+    # deterministic DDIM(eta=0) update, while the GUIDANCE substep (DPS
+    # gradient + in-scan phi SGD) stays first-order — the paper's key
+    # observation is that high-order solvers only help the diffusion term.
+    # Enabled with SamplerConfig(sampler='ltsp'); cuts the steps needed for
+    # a given quality by ~4x (validated on the toy-prior protocol,
+    # VALIDATION.md).
+    ltsp = scfg.sampler == "ltsp"
+    if ltsp:
+        if gcfg.method != "osmosis":
+            raise NotImplementedError("ltsp splitting implements the 'osmosis' path")
+        if not never_alternates:
+            raise NotImplementedError("ltsp requires local_M == 1 patterns")
+        _ab = np.zeros((T, 4), np.float32)
+        for t_host in range(T):
+            j = T - 1 - t_host  # step index along the reverse chain
+            if j == 0:
+                _ab[t_host] = [1.0, 0.0, 0.0, 0.0]
+            elif j == 1:
+                _ab[t_host] = [1.5, -0.5, 0.0, 0.0]
+            elif j == 2:
+                _ab[t_host] = [23 / 12, -16 / 12, 5 / 12, 0.0]
+            else:
+                _ab[t_host] = [55 / 24, -59 / 24, 37 / 24, -9 / 24]
+        plms_coeffs = jnp.asarray(_ab)
+
+    def _gather(namek, tb):
+        return consts[namek][tb].reshape(-1, *([1] * (x_init.ndim - 1)))
+
     # ---- one guided osmosis update (condition_methods.py:146-231) --------
     def osmosis_guided(x, phi, opt_state, t, tb):
         def x0_and_v(xp):
@@ -326,14 +357,14 @@ def guided_sample_loop(
         else:
             # gradient wrt x0-hat; never clipped (condition_methods.py:227-229)
             g_used = g_x0
-        x_t = mean - scale_bc * g_used
-        return x_t, logvar, x0, phi, opt_state, sep, aux_vec
+        guidance = scale_bc * g_used
+        return mean - guidance, logvar, x0, guidance, phi, opt_state, sep, aux_vec
 
     def plain_update(x, phi, opt_state, t, tb):
         out = p_mean_variance(model_fn, x, tb, consts, scfg)
         return (
             out["mean"], out["log_variance"], out["pred_xstart"],
-            phi, opt_state, jnp.zeros((B,)), zero_aux,
+            jnp.zeros_like(x), phi, opt_state, jnp.zeros((B,)), zero_aux,
         )
 
     # ---- 'ps' (vanilla DPS rgb_guidance) step -----------------------------
@@ -391,7 +422,11 @@ def guided_sample_loop(
 
     # ---- scan body ---------------------------------------------------------
     def step(carry, t):
-        x, phi, opt_state, x0_last, b_x0 = carry
+        if ltsp:
+            x, phi, opt_state, x0_last, b_x0, eps_hist = carry
+        else:
+            x, phi, opt_state, x0_last, b_x0 = carry
+            eps_hist = None
         tb = jnp.full((B,), t, dtype=jnp.int32)
 
         def one_iteration(i, c):
@@ -409,7 +444,27 @@ def guided_sample_loop(
                     lambda op: plain_update(*op, t, tb),
                     (x_, phi_, st_),
                 )
-            x_t, logvar, x0, phi2, st2, sep, aux_vec = upd
+            x_t, logvar, x0, guidance, phi2, st2, sep, aux_vec = upd
+            if ltsp:
+                # Lie-Trotter split: (a) PLMS/DDIM(eta=0) diffusion substep
+                # on eps, (b) first-order guidance substep
+                eps_t = (
+                    _gather("sqrt_recip_alphas_cumprod", tb) * x_ - x0
+                ) / _gather("sqrt_recipm1_alphas_cumprod", tb)
+                eps_all = jnp.stack([eps_t] + list(eps_hist))  # [4, B, ...]
+                c4 = plms_coeffs[t]
+                eps_eff = jnp.tensordot(c4, eps_all, axes=1)
+                x0_eff = (
+                    _gather("sqrt_recip_alphas_cumprod", tb) * x_
+                    - _gather("sqrt_recipm1_alphas_cumprod", tb) * eps_eff
+                )
+                ab_prev = _gather("alphas_cumprod_prev", tb)
+                x_diff = (
+                    jnp.sqrt(ab_prev) * x0_eff
+                    + jnp.sqrt(1.0 - ab_prev) * eps_eff
+                )
+                x_next = x_diff - guidance
+                return (x_next, phi2, st2, x0, sep, aux_vec, eps_t)
             # noise AFTER guidance (gaussian_diffusion.py:266-268)
             if deterministic:
                 x_next = x_t
@@ -420,7 +475,10 @@ def guided_sample_loop(
             return (x_next, phi2, st2, x0, sep, aux_vec)
 
         init = (x, phi, opt_state, x0_last, jnp.zeros((B,)), zero_aux)
-        if never_alternates:
+        if ltsp:
+            x, phi, opt_state, x0, sep, aux_vec, eps_t = one_iteration(0, init)
+            eps_hist = (eps_t, eps_hist[0], eps_hist[1])
+        elif never_alternates:
             x, phi, opt_state, x0, sep, aux_vec = one_iteration(0, init)
         else:
             x, phi, opt_state, x0, sep, aux_vec = jax.lax.fori_loop(
@@ -445,11 +503,20 @@ def guided_sample_loop(
             )
 
         ys = {"sep_loss": sep, "phi": phi, "aux": aux_vec}
+        if ltsp:
+            return (x, phi, opt_state, x0, b_x0, eps_hist), ys
         return (x, phi, opt_state, x0, b_x0), ys
 
     ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
     carry0 = (x_init, phi0, opt_state0, jnp.zeros_like(x_init), buf_x0)
-    (x, phi, opt_state, x0_final, buf_x0), ys = jax.lax.scan(step, carry0, ts)
+    if ltsp:
+        zeros3 = tuple(jnp.zeros_like(x_init) for _ in range(3))
+        carry0 = carry0 + (zeros3,)
+        (x, phi, opt_state, x0_final, buf_x0, _), ys = jax.lax.scan(
+            step, carry0, ts
+        )
+    else:
+        (x, phi, opt_state, x0_final, buf_x0), ys = jax.lax.scan(step, carry0, ts)
 
     return GuidedResult(
         sample=x,

@@ -45,6 +45,10 @@ class SamplerConfig:
 
 SAMPLERS.register("ddpm")("ddpm")
 SAMPLERS.register("ddim")("ddim")
+# 'ltsp': Lie-Trotter splitting with a PLMS4 diffusion substep for GUIDED
+# sampling (arXiv 2301.11558) — handled by diffusion/guided.py; beyond the
+# reference's surface (its samplers are ddpm/ddim only)
+SAMPLERS.register("ltsp")("ltsp")
 
 
 # ---------------------------------------------------------------------------

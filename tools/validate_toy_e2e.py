@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--n-iter", type=int, default=10)
     ap.add_argument("--scale", default="2,2,2,1")
     ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--sampler", default="ddpm", choices=["ddpm", "ltsp"],
+                    help="ltsp = Lie-Trotter splitting with PLMS4 diffusion "
+                         "substep (arXiv 2301.11558) — fewer steps, same quality")
     ap.add_argument("--save-png", default=None,
                     help="save a GT / degraded / restored / depth strip here")
     args = ap.parse_args()
@@ -108,7 +111,8 @@ def main():
              gradient_x_prev=True, gradient_clip="True,0.01"),
         pattern, {"aux_loss": {"avrg_loss": 0.5, "val_loss": 20.0}},
     )
-    scfg = SamplerConfig(model_var_type="fixed_small", clip_denoised=True)
+    scfg = SamplerConfig(sampler=args.sampler, model_var_type="fixed_small",
+                         clip_denoised=True)
 
     def run_one(params_, x_init, y, key):
         def model_fn(x, t):
@@ -185,6 +189,7 @@ def main():
         print(f"strip saved: {args.save_png}", file=sys.stderr)
 
     print(json.dumps({
+        "sampler": args.sampler, "respacing": args.respacing,
         "scenes": rows,
         "psnr_degraded_mean": round(mean_in, 2),
         "psnr_restored_mean": round(mean_out, 2),
