@@ -509,14 +509,24 @@ def guided_sample_loop(
 
     ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
     carry0 = (x_init, phi0, opt_state0, jnp.zeros_like(x_init), buf_x0)
+    # OSMOSIS_TPU_SCAN_UNROLL>1 unrolls scan bodies so XLA can schedule one
+    # step's boundary layout copies behind the previous step's convs
+    # (perf experiment knob; requires T % unroll == 0)
+    import os as _os
+
+    unroll = int(_os.environ.get("OSMOSIS_TPU_SCAN_UNROLL", "1"))
+    if T % max(unroll, 1) != 0:
+        unroll = 1
     if ltsp:
         zeros3 = tuple(jnp.zeros_like(x_init) for _ in range(3))
         carry0 = carry0 + (zeros3,)
         (x, phi, opt_state, x0_final, buf_x0, _), ys = jax.lax.scan(
-            step, carry0, ts
+            step, carry0, ts, unroll=unroll
         )
     else:
-        (x, phi, opt_state, x0_final, buf_x0), ys = jax.lax.scan(step, carry0, ts)
+        (x, phi, opt_state, x0_final, buf_x0), ys = jax.lax.scan(
+            step, carry0, ts, unroll=unroll
+        )
 
     return GuidedResult(
         sample=x,
