@@ -132,6 +132,114 @@ def _gn_bwd(num_groups, eps, res, gbar):
 group_norm.defvjp(_gn_fwd, _gn_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused norm→(FiLM)→SiLU with residual-minimal custom VJPs
+# ---------------------------------------------------------------------------
+# Autodiff of silu(gn(x)) / silu(gn(x)·(1+s)+t) saves the pre-SiLU tensor AND
+# sigmoid(pre-SiLU) as residuals — at 256², two extra [B,H,W,C] HBM
+# writes (forward) + reads (backward) per norm site that XLA must emit as
+# extra fusion outputs. These fused ops save ONLY the norm input x (which the
+# GroupNorm backward needs regardless and which is already materialized as
+# the previous conv's output) plus the tiny [B,C] statistics, and recompute
+# the elementwise chain inside the backward fusion. Forward math and dtype
+# sequence are IDENTICAL to the unfused composition; parameter/FiLM
+# cotangents are exact (used by the toy trainer; DCE'd in the x-only guided
+# pullback).
+
+
+def _silu_raw(x):
+    return x * jax.nn.sigmoid(x)
+
+
+@jax.custom_vjp
+def silu(x: jax.Array) -> jax.Array:
+    return _silu_raw(x)
+
+
+def _silu_fwd(x):
+    return _silu_raw(x), x
+
+
+def _silu_bwd(x, g):
+    s = jax.nn.sigmoid(x)  # recomputed in the backward fusion, never stored
+    return (g * (s * (1 + x * (1 - s))),)
+
+
+silu.defvjp(_silu_fwd, _silu_bwd)
+
+
+def _film_grad_axes(fs, x):
+    """Axes to sum a full-shape cotangent down to fs's broadcast shape."""
+    return tuple(
+        i for i in range(x.ndim) if fs.shape[i] == 1 and x.shape[i] != 1
+    )
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def norm_silu(x, scale, bias, num_groups, eps):
+    """silu(group_norm(x)) with only (x, stats) as large residuals."""
+    out, _ = _ns_fwd(x, scale, bias, num_groups, eps)
+    return out
+
+
+def _ns_fwd(x, scale, bias, num_groups, eps):
+    gn_out, (x_, scale_, mean_c, inv_c) = _gn_fwd(x, scale, bias, num_groups, eps)
+    return _silu_raw(gn_out), (x, scale, bias, mean_c, inv_c)
+
+
+def _ns_bwd(num_groups, eps, res, g):
+    x, scale, bias, mean_c, inv_c = res
+    x32 = x.astype(jnp.float32)
+    gn_out = (
+        (x32 - _gn_reshape(mean_c, x)) * (_gn_reshape(inv_c, x) * scale) + bias
+    ).astype(x.dtype)
+    s = jax.nn.sigmoid(gn_out)
+    dgn = g * (s * (1 + gn_out * (1 - s)))
+    dx, dscale, dbias = _gn_bwd(num_groups, eps, (x, scale, mean_c, inv_c), dgn)
+    return dx, dscale, dbias
+
+
+norm_silu.defvjp(_ns_fwd, _ns_bwd)
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def norm_film_silu(x, scale, bias, film_scale, film_shift, num_groups, eps):
+    """silu(group_norm(x)·(1+film_scale)+film_shift) — the ResBlock
+    scale-shift epilogue (unet.py:327-331) as one residual-minimal op.
+    film_scale/film_shift must be broadcast-shaped [B,1,...,1,C] in x.dtype."""
+    out, _ = _nfs_fwd(x, scale, bias, film_scale, film_shift, num_groups, eps)
+    return out
+
+
+def _nfs_fwd(x, scale, bias, film_scale, film_shift, num_groups, eps):
+    gn_out, (_, _, mean_c, inv_c) = _gn_fwd(x, scale, bias, num_groups, eps)
+    film = gn_out * (1 + film_scale) + film_shift
+    return _silu_raw(film), (x, scale, bias, film_scale, film_shift, mean_c, inv_c)
+
+
+def _nfs_bwd(num_groups, eps, res, g):
+    x, scale, bias, film_scale, film_shift, mean_c, inv_c = res
+    x32 = x.astype(jnp.float32)
+    gn_out = (
+        (x32 - _gn_reshape(mean_c, x)) * (_gn_reshape(inv_c, x) * scale) + bias
+    ).astype(x.dtype)
+    film = gn_out * (1 + film_scale) + film_shift
+    s = jax.nn.sigmoid(film)
+    dfilm = g * (s * (1 + film * (1 - s)))
+    dfs = jnp.sum(
+        (dfilm * gn_out), axis=_film_grad_axes(film_scale, x), keepdims=True
+    ).astype(film_scale.dtype)
+    dft = jnp.sum(
+        dfilm, axis=_film_grad_axes(film_shift, x), keepdims=True
+    ).astype(film_shift.dtype)
+    dgn = dfilm * (1 + film_scale)
+    dx, dscale, dbias = _gn_bwd(num_groups, eps, (x, scale, mean_c, inv_c), dgn)
+    return dx, dscale, dbias, dfs, dft
+
+
+norm_film_silu.defvjp(_nfs_fwd, _nfs_bwd)
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm(32, C) with fp32 statistics, result cast to input dtype.
 
@@ -154,28 +262,42 @@ class GroupNorm32(nn.Module):
     num_channels: int = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, channel_offset: int = 0) -> jax.Array:
+    def __call__(self, x: jax.Array, channel_offset: int = 0,
+                 film=None, act: str = None) -> jax.Array:
+        """``film=(scale, shift)`` applies the FiLM epilogue h·(1+s)+t and
+        ``act='silu'`` the SiLU — both fused into the norm's custom VJP so the
+        backward stores no pre-activation residuals (see norm_film_silu)."""
         c_total = self.num_channels or x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c_total,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c_total,), jnp.float32)
         c = x.shape[-1]
-        if c == c_total and channel_offset == 0:
-            return group_norm(x, scale, bias, self.num_groups, self.epsilon)
-        gw = c_total // self.num_groups
-        assert channel_offset % gw == 0 and c % gw == 0, (
-            "GroupNorm slice must align to group boundaries"
-        )
-        return group_norm(
-            x,
-            jax.lax.slice_in_dim(scale, channel_offset, channel_offset + c, axis=0),
-            jax.lax.slice_in_dim(bias, channel_offset, channel_offset + c, axis=0),
-            c // gw,
-            self.epsilon,
-        )
+        groups = self.num_groups
+        if not (c == c_total and channel_offset == 0):
+            gw = c_total // self.num_groups
+            assert channel_offset % gw == 0 and c % gw == 0, (
+                "GroupNorm slice must align to group boundaries"
+            )
+            scale = jax.lax.slice_in_dim(scale, channel_offset, channel_offset + c, axis=0)
+            bias = jax.lax.slice_in_dim(bias, channel_offset, channel_offset + c, axis=0)
+            groups = c // gw
 
+        import os
 
-def silu(x: jax.Array) -> jax.Array:
-    return x * jax.nn.sigmoid(x)
+        if os.environ.get("OSMOSIS_TPU_FUSED_NORM_SILU", "1") == "0":
+            # ablation fallback: unfused composition (identical math)
+            h = group_norm(x, scale, bias, groups, self.epsilon)
+            if film is not None:
+                h = h * (1 + film[0]) + film[1]
+            return _silu_raw(h) if act == "silu" else h
+
+        if film is not None:
+            assert act == "silu"
+            fs = jnp.broadcast_to(film[0], (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)).astype(x.dtype)
+            ft = jnp.broadcast_to(film[1], fs.shape).astype(x.dtype)
+            return norm_film_silu(x, scale, bias, fs, ft, groups, self.epsilon)
+        if act == "silu":
+            return norm_silu(x, scale, bias, groups, self.epsilon)
+        return group_norm(x, scale, bias, groups, self.epsilon)
 
 
 class Conv3x3AsDot(nn.Module):

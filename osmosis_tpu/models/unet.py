@@ -200,12 +200,13 @@ class ResBlock(nn.Module):
             # level transitions) — materialize the concat, exact old path
             parts = [jnp.concatenate(parts, axis=-1)]
 
-        # in_norm over the (virtual) concat: per-part GN with sliced affine
+        # in_norm over the (virtual) concat: per-part GN with sliced affine;
+        # SiLU fused into the norm's custom VJP (no pre-activation residuals)
         gn = onn.GroupNorm32(name="in_norm", num_channels=in_ch)
         c_parts = [p.shape[-1] for p in parts]
         offs = [sum(c_parts[:i]) for i in range(len(c_parts))]
         hs = [
-            onn.silu(gn(p, channel_offset=o))
+            gn(p, channel_offset=o, act="silu")
             for p, o in zip(parts, offs)
         ]
         xs = parts
@@ -225,12 +226,10 @@ class ResBlock(nn.Module):
         if self.use_scale_shift_norm:
             scale = emb_out[..., : self.out_channels]
             shift = emb_out[..., self.out_channels:]
-            h = onn.GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
-            h = onn.silu(h)
+            h = onn.GroupNorm32(name="out_norm")(h, film=(scale, shift), act="silu")
         else:
             h = h + emb_out
-            h = onn.GroupNorm32(name="out_norm")(h)
-            h = onn.silu(h)
+            h = onn.GroupNorm32(name="out_norm")(h, act="silu")
         h = onn.conv3x3(self.out_channels, "out_conv", zero_init=True, dtype=self.dtype,
                         n_tokens=h.shape[1] * h.shape[2])(h)
 
@@ -386,8 +385,7 @@ class UNetModel(nn.Module):
                 h = apply_layer(h, emb, lay, f"out_{i}_{j}")
 
         h = h.astype(jnp.float32)  # unet.py:741 h.type(x.dtype)
-        h = onn.GroupNorm32(name="out_norm")(h)
-        h = onn.silu(h)
+        h = onn.GroupNorm32(name="out_norm")(h, act="silu")
         return onn.conv3x3(cfg.out_channels, "out_conv", zero_init=True)(h)
 
 
