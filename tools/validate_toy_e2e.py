@@ -48,7 +48,18 @@ def main():
     ap.add_argument("--T", type=int, default=1000)
     ap.add_argument("--respacing", default="200")
     ap.add_argument("--n-iter", type=int, default=10)
-    ap.add_argument("--scale", default="2,2,2,1")
+    ap.add_argument("--scale", default="2,2,2,1",
+                    help="guidance scale; norm-loss gradients shrink ~1/size "
+                         "per pixel, so larger images need a larger scale "
+                         "(32px: 2,2,2,1; 64px: ~4,4,4,2)")
+    ap.add_argument("--phi-eta", type=float, default=2e-4,
+                    help="phi SGD lr; phi gradients GROW ~size under the "
+                         "norm loss, so halve per 2x image size")
+    ap.add_argument("--optimizer", default="sgd",
+                    choices=["sgd", "gd", "adam", "rmsprop"],
+                    help="phi optimizer (the operator config surface); adam's "
+                         "adaptive steps escape the wrong-basin phi/J "
+                         "trade-off that plain SGD shows at 64px")
     ap.add_argument("--seed", type=int, default=123)
     ap.add_argument("--sampler", default="ddpm", choices=["ddpm", "ltsp"],
                     help="ltsp = Lie-Trotter splitting with PLMS4 diffusion "
@@ -89,10 +100,10 @@ def main():
     # positive and monotone — the shipped configs' mapping) makes depth
     # physically observable through both attenuation and backscatter
     op_kw = dict(
-        optimizer="sgd", depth_type="gamma", value="1.4,1.4,1",
-        phi_a="0.7,0.6,0.5", phi_a_eta=2e-4, phi_a_learn_flag=True,
-        phi_b="0.6,0.5,0.45", phi_b_eta=2e-4, phi_b_learn_flag=True,
-        phi_inf="0.14,0.29,0.49", phi_inf_eta=2e-4, phi_inf_learn_flag=True,
+        optimizer=args.optimizer, depth_type="gamma", value="1.4,1.4,1",
+        phi_a="0.7,0.6,0.5", phi_a_eta=args.phi_eta, phi_a_learn_flag=True,
+        phi_b="0.6,0.5,0.45", phi_b_eta=args.phi_eta, phi_b_learn_flag=True,
+        phi_inf="0.14,0.29,0.49", phi_inf_eta=args.phi_eta, phi_inf_learn_flag=True,
     )
     operator = get_operator("underwater_physical_revised", batch_size=1, **op_kw)
 
