@@ -319,7 +319,7 @@ class Conv3x3AsDot(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        b, h, w, cin = x.shape
+        cin = x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal(),
@@ -328,6 +328,10 @@ class Conv3x3AsDot(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         xd = x.astype(self.dtype)
         kd = kernel.astype(self.dtype)
+        if xd.ndim == 5:  # stripped input below the dot threshold (only
+            # reachable with a lowered STRIP_MIN_TOKENS, e.g. in tests)
+            return strip_conv3x3_apply(xd, kd) + bias.astype(xd.dtype)
+        b, h, w, _ = x.shape
         xp = jnp.pad(xd, ((0, 0), (1, 1), (1, 1), (0, 0)))
         # taps ordered to match kernel[dy, dx] layout
         cols = [
@@ -348,12 +352,140 @@ class Conv3x3AsDot(nn.Module):
 CONV_DOT_MAX_TOKENS = 256
 
 
+# ---------------------------------------------------------------------------
+# Strip-batched level-0 representation
+# ---------------------------------------------------------------------------
+# XLA space-to-batches every batch-1 256² conv independently and pays layout
+# transposes between neighboring ops' differing S2B layouts — ~8 ms/step of
+# 'data formatting'+'copy' in the round-3 guided-step profile
+# (tools/profile_guided.py). Instead the UNet keeps its largest level in an
+# explicit strip-batched form [1, S, H/S, W, C]: convs run as batch-S with a
+# one-row halo exchange (exactly conv-'same' semantics, zero rows at the
+# image boundary), everything elementwise stays in the strip layout, and
+# GroupNorm statistics are pooled over (strip, h, w) — which the group_norm
+# custom VJPs already do for ANY rank (they reduce all axes between batch
+# and channel). Measured on the probe (tools/probe_strip_conv.py): 17%
+# faster fwd+bwd on the level-0 resblock core, bitwise-exact; the win
+# requires the layout to PERSIST across the segment (strip-batching convs
+# alone recovers only 5%).
+
+STRIP_MIN_TOKENS = 65536   # strip levels with >= this many spatial tokens
+STRIP_COUNT = 16           # measured best at 256² (vs 32/64/128)
+
+
+def strips_enabled() -> bool:
+    import os
+
+    return os.environ.get("OSMOSIS_TPU_STRIP_CONV", "1") != "0"
+
+
+def strip_count() -> int:
+    import os
+
+    v = os.environ.get("OSMOSIS_TPU_STRIP_COUNT")
+    return int(v) if v else STRIP_COUNT
+
+
+def spatial_tokens(x: jax.Array) -> int:
+    n = 1
+    for d in x.shape[1:-1]:
+        n *= d
+    return n
+
+
+def to_strips(x: jax.Array, s: int = None) -> jax.Array:
+    """[B, H, W, C] → [B, S, H/S, W, C] — a contiguous (free) reshape."""
+    s = s or strip_count()
+    b, h, w, c = x.shape
+    assert h % s == 0, (h, s)
+    return x.reshape(b, s, h // s, w, c)
+
+
+def from_strips(x: jax.Array) -> jax.Array:
+    b, s, h, w, c = x.shape
+    return x.reshape(b, s * h, w, c)
+
+
+def _halo_rows(x: jax.Array) -> jax.Array:
+    """[S, h, W, C] → [S, h+2, W, C]: one halo row from each neighboring
+    strip; zeros at the image boundary (== conv 'same' zero padding)."""
+    top = jnp.concatenate([jnp.zeros_like(x[:1, -1:]), x[:-1, -1:]], axis=0)
+    bot = jnp.concatenate([x[1:, :1], jnp.zeros_like(x[-1:, :1])], axis=0)
+    return jnp.concatenate([top, x, bot], axis=1)
+
+
+def _strip_conv3x3_raw(x5: jax.Array, kernel: jax.Array) -> jax.Array:
+    """3x3 'same' conv on the strip representation, batch ONLY over axis 1
+    (axis 0 is the true batch; vmap-safe because it is never reshaped)."""
+    b = x5.shape[0]
+    outs = []
+    for i in range(b):  # b == 1 in every latency path
+        xs = x5[i]
+        y = jax.lax.conv_general_dilated(
+            _halo_rows(xs), kernel, (1, 1), ((0, 0), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        outs.append(y)
+    return jnp.stack(outs, axis=0)
+
+
+def _flat_conv3x3(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    return jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@jax.custom_vjp
+def _strip_conv3x3_flatbwd(x5, kernel):
+    """Strip-batched forward, FLAT backward: the autodiffed backward of the
+    halo'd batch-S conv runs its dgrad at ~75% MXU peak ([S,h+2,W,C] tiles
+    emit worse than space-to-batch) — but strip fwd ≡ flat fwd exactly, so
+    the backward may legally use the flat conv's VJP (whose S2B dgrad runs
+    at ~95% peak). Experiment flag: OSMOSIS_TPU_STRIP_BWD_FLAT=1."""
+    return _strip_conv3x3_raw(x5, kernel)
+
+
+def _scf_fwd(x5, kernel):
+    return _strip_conv3x3_raw(x5, kernel), (x5, kernel)
+
+
+def _scf_bwd(res, dy5):
+    x5, kernel = res
+    dy = from_strips(dy5)
+    _, pull = jax.vjp(_flat_conv3x3, from_strips(x5), kernel)
+    dxf, dk = pull(dy)
+    return to_strips(dxf, x5.shape[1]), dk
+
+
+_strip_conv3x3_flatbwd.defvjp(_scf_fwd, _scf_bwd)
+
+
+def strip_conv3x3_apply(x5: jax.Array, kernel: jax.Array) -> jax.Array:
+    import os
+
+    if os.environ.get("OSMOSIS_TPU_STRIP_BWD_FLAT") == "1":
+        return _strip_conv3x3_flatbwd(x5, kernel)
+    return _strip_conv3x3_raw(x5, kernel)
+
+
+def strip_conv1x1_apply(x5: jax.Array, kernel: jax.Array) -> jax.Array:
+    b, s, h, w, cin = x5.shape
+    cout = kernel.shape[-1]
+    y = x5.reshape(b * s * h * w, cin) @ kernel.reshape(cin, cout)
+    return y.reshape(b, s, h, w, cout)
+
+
 class ConvMulti(nn.Module):
     """Conv over a VIRTUAL channel concatenation: one kernel parameter of
     the full input width (identical tree/init to nn.Conv), applied as one
     sliced conv per part and summed — conv is linear over input channels,
     so this equals conv(concat(parts)) exactly while never materializing
-    the concat (a 2x67MB round-trip per level-0 output block)."""
+    the concat (a 2x67MB round-trip per level-0 output block).
+
+    Parts may be 5-D strip tensors ([B, S, h, W, C] — see to_strips): the
+    conv then runs batch-S with halo rows instead of letting XLA
+    space-to-batch it."""
 
     features: int
     ksize: int = 3
@@ -379,7 +511,12 @@ class ConvMulti(nn.Module):
             cin = p.shape[-1]
             kp = jax.lax.slice_in_dim(kd, off, off + cin, axis=2)
             pd = p.astype(self.dtype)
-            if self.use_dot:
+            if pd.ndim == 5:
+                if k == 1:
+                    y = strip_conv1x1_apply(pd, kp)
+                else:
+                    y = strip_conv3x3_apply(pd, kp)
+            elif self.use_dot:
                 b, h, w, _ = pd.shape
                 if k == 1:
                     y = pd.reshape(b * h * w, cin) @ kp.reshape(cin, self.features)
@@ -419,19 +556,41 @@ def conv1x1_multi(features: int, name: str, zero_init: bool = False,
     )
 
 
+class Conv3x3Flex(nn.Module):
+    """3x3 'same' conv with call-time dispatch: 5-D strip tensors run the
+    halo'd batch-S path; 4-D runs XLA's conv emitter. Parameter tree
+    ('kernel' [3,3,I,O] + 'bias') is identical to nn.Conv."""
+
+    features: int
+    zero_init: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        xd = x.astype(self.dtype)
+        kd = kernel.astype(self.dtype)
+        if xd.ndim == 5:
+            out = strip_conv3x3_apply(xd, kd)
+        else:
+            out = jax.lax.conv_general_dilated(
+                xd, kd, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        return out + bias.astype(out.dtype)
+
+
 def conv3x3(features: int, name: str, zero_init: bool = False, dtype: Any = jnp.float32,
             n_tokens: int = None):
     if n_tokens is not None and n_tokens <= CONV_DOT_MAX_TOKENS:
         return Conv3x3AsDot(features, zero_init=zero_init, dtype=dtype, name=name)
-    return nn.Conv(
-        features,
-        kernel_size=(3, 3),
-        padding=((1, 1), (1, 1)),
-        kernel_init=nn.initializers.zeros if zero_init else nn.initializers.lecun_normal(),
-        dtype=dtype,
-        param_dtype=jnp.float32,
-        name=name,
-    )
+    return Conv3x3Flex(features, zero_init=zero_init, dtype=dtype, name=name)
 
 
 class Conv1x1AsDot(nn.Module):
@@ -445,18 +604,22 @@ class Conv1x1AsDot(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        b, h, w, cin = x.shape
+        cin = x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal(),
             (1, 1, cin, self.features), jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        out = x.astype(self.dtype).reshape(b * h * w, cin) @ (
+        lead = x.shape[:-1]
+        n = 1
+        for d in lead:
+            n *= d
+        out = x.astype(self.dtype).reshape(n, cin) @ (
             kernel.astype(self.dtype).reshape(cin, self.features)
         )
         out = out + bias.astype(out.dtype)
-        return out.reshape(b, h, w, self.features)
+        return out.reshape(*lead, self.features)
 
 
 def conv1x1(features: int, name: str, zero_init: bool = False, dtype: Any = jnp.float32,
@@ -491,6 +654,13 @@ def upsample_nearest_2x(x: jax.Array) -> jax.Array:
     kernel builds doubled row-blocks in VMEM and stores them contiguously."""
     import os
 
+    if x.ndim == 5:  # strip representation: upsample within strips (rows
+        # never cross strip boundaries under nearest-2x)
+        b, s, h, w, c = x.shape
+        out = jnp.broadcast_to(
+            x[:, :, :, None, :, None, :], (b, s, h, 2, w, 2, c)
+        )
+        return out.reshape(b, s, h * 2, w * 2, c)
     b, h, w, c = x.shape
     # OPT-IN ONLY (OSMOSIS_TPU_PALLAS_UPSAMPLE=1), kept for documentation:
     # measured 24% WORSE end-to-end when enabled at the >16MB sites (Mosaic
@@ -519,5 +689,9 @@ def avg_pool_2x(x: jax.Array) -> jax.Array:
     the autodiffed backward is a broadcast instead of a select-and-scatter
     style pattern, and both directions fuse into neighboring elementwise
     ops."""
+    if x.ndim == 5:  # strip representation: 2x2 windows never straddle a
+        # strip boundary (strip height is even)
+        b, s, h, w, c = x.shape
+        return x.reshape(b, s, h // 2, 2, w // 2, 2, c).mean(axis=(3, 5))
     b, h, w, c = x.shape
     return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))

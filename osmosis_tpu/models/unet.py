@@ -164,6 +164,21 @@ def build_plan(cfg: UNetConfig):
 # Blocks
 # ---------------------------------------------------------------------------
 
+def _strip_repr(ts):
+    """Normalize a list of tensors to the representation their size calls
+    for: >= STRIP_MIN_TOKENS spatial tokens → 5-D strips, below → 4-D flat
+    (both directions are contiguous reshapes; see nn.py strip section)."""
+    t0 = ts[0]
+    tok = onn.spatial_tokens(t0)
+    if (t0.ndim == 4 and onn.strips_enabled()
+            and tok >= onn.STRIP_MIN_TOKENS
+            and t0.shape[1] % onn.strip_count() == 0):
+        return [onn.to_strips(t) for t in ts]
+    if t0.ndim == 5 and tok < onn.STRIP_MIN_TOKENS:
+        return [onn.from_strips(t) for t in ts]
+    return ts
+
+
 class ResBlock(nn.Module):
     """ResBlock with FiLM scale-shift norm and in-block resampling
     (unet.py:222-335).
@@ -216,12 +231,20 @@ class ResBlock(nn.Module):
         elif self.down:
             hs = [onn.avg_pool_2x(h) for h in hs]
             xs = [onn.avg_pool_2x(p) for p in xs]
+        # representation normalization: big maps live as [B,S,h,W,C] strips
+        # (halo'd batch-S convs instead of XLA space-to-batch — nn.py), so
+        # after in-block resampling the tensors may cross the threshold in
+        # either direction
+        hs = _strip_repr(hs)
+        xs = _strip_repr(xs)
         h = onn.conv3x3_multi(self.out_channels, "in_conv", dtype=self.dtype,
-                              n_tokens=hs[0].shape[1] * hs[0].shape[2])(hs)
+                              n_tokens=onn.spatial_tokens(hs[0]))(hs)
 
         emb_width = 2 * self.out_channels if self.use_scale_shift_norm else self.out_channels
         emb_out = onn.dense(emb_width, "emb_proj", dtype=self.dtype)(onn.silu(emb))
-        emb_out = emb_out[:, None, None, :].astype(h.dtype)
+        emb_out = emb_out.reshape(
+            (emb_out.shape[0],) + (1,) * (h.ndim - 2) + (emb_width,)
+        ).astype(h.dtype)
 
         if self.use_scale_shift_norm:
             scale = emb_out[..., : self.out_channels]
@@ -231,16 +254,16 @@ class ResBlock(nn.Module):
             h = h + emb_out
             h = onn.GroupNorm32(name="out_norm")(h, act="silu")
         h = onn.conv3x3(self.out_channels, "out_conv", zero_init=True, dtype=self.dtype,
-                        n_tokens=h.shape[1] * h.shape[2])(h)
+                        n_tokens=onn.spatial_tokens(h))(h)
 
         if self.out_channels == in_ch:
             skip = xs[0]
         elif self.use_conv_skip:
             skip = onn.conv3x3_multi(self.out_channels, "skip", dtype=self.dtype,
-                                     n_tokens=xs[0].shape[1] * xs[0].shape[2])(xs)
+                                     n_tokens=onn.spatial_tokens(xs[0]))(xs)
         else:
             skip = onn.conv1x1_multi(self.out_channels, "skip", dtype=self.dtype,
-                                     n_tokens=xs[0].shape[1] * xs[0].shape[2])(xs)
+                                     n_tokens=onn.spatial_tokens(xs[0]))(xs)
         return skip + h
 
 
@@ -348,18 +371,26 @@ class UNetModel(nn.Module):
                     name=name,
                 )(h, emb)
             if lay["kind"] == "attn":
-                return attn_cls(
+                # attention flattens HW tokens — run it on the 4-D view
+                # (free reshapes in and out of the strip representation)
+                strip = h.ndim == 5
+                out = attn_cls(
                     num_heads=lay["heads"], dtype=cfg.dtype,
                     name=name,
-                )(h)
+                )(onn.from_strips(h) if strip else h)
+                return onn.to_strips(out) if strip else out
             if lay["kind"] == "down":
-                return Downsample(
+                if h.ndim == 5:
+                    h = onn.from_strips(h)
+                return _strip_repr([Downsample(
                     lay["ch"], use_conv=cfg.conv_resample, dtype=cfg.dtype, name=name
-                )(h)
+                )(h)])[0]
             if lay["kind"] == "up":
-                return Upsample(
+                if h.ndim == 5:
+                    h = onn.from_strips(h)
+                return _strip_repr([Upsample(
                     lay["ch"], use_conv=cfg.conv_resample, dtype=cfg.dtype, name=name
-                )(h)
+                )(h)])[0]
             raise ValueError(lay["kind"])
 
         # timestep embedding MLP (unet.py:549-554,727)
@@ -368,7 +399,7 @@ class UNetModel(nn.Module):
         emb = onn.silu(emb)
         emb = onn.dense(cfg.time_embed_dim, "time_dense1", dtype=cfg.dtype)(emb)
 
-        h = x.astype(cfg.dtype)
+        h = _strip_repr([x.astype(cfg.dtype)])[0]
         hs = []
         for i, block in enumerate(input_blocks):
             for j, lay in enumerate(block):
@@ -386,7 +417,8 @@ class UNetModel(nn.Module):
 
         h = h.astype(jnp.float32)  # unet.py:741 h.type(x.dtype)
         h = onn.GroupNorm32(name="out_norm")(h, act="silu")
-        return onn.conv3x3(cfg.out_channels, "out_conv", zero_init=True)(h)
+        h = onn.conv3x3(cfg.out_channels, "out_conv", zero_init=True)(h)
+        return onn.from_strips(h) if h.ndim == 5 else h
 
 
 def res_layer_names(cfg: UNetConfig):
