@@ -3,9 +3,9 @@ structural validation of the <10 s/image recipe.
 
 Quality parity needs the real checkpoint (tools/validate_checkpoint.py);
 what CAN be pinned today: the preset parses through the production config
-path, the ddim250 respacing yields the documented chain, and the full
+path, the ddim200 respacing yields the documented chain, and the full
 guided machinery still recovers known water parameters on a RESPACED chain
-with the preset's compensated (4x) phi learning rates.
+with the preset's compensated (5x) phi learning rates.
 """
 
 import os
@@ -28,25 +28,25 @@ HW = 16
 def test_fast_preset_parses_and_respaces():
     args = C.arguments_from_file(CFG)
     d = args.diffusion
-    assert d["timestep_respacing"] == "ddim250"
+    assert d["timestep_respacing"] == "ddim200"
     sch = make_schedule(
         noise_schedule=d["noise_schedule"], steps=d["steps"],
         timestep_respacing=d["timestep_respacing"],
         rescale_timesteps=d["rescale_timesteps"],
     )
-    assert sch.num_timesteps == 250  # 4x fewer UNet passes
+    assert sch.num_timesteps == 200  # 5x fewer UNet passes
     mt = np.asarray(sch.device_constants()["model_timesteps"])
-    assert mt.shape == (250,) and mt[0] == 0 and mt[-1] <= 999
+    assert mt.shape == (200,) and mt[0] == 0 and mt[-1] <= 999
     assert np.all(np.diff(mt) > 0)
-    # compensated phi learning rates: 4x the 1000-step preset's 1e-5
+    # compensated phi learning rates: 5x the 1000-step preset's 1e-5
     op = args.measurement["operator"]
-    assert float(op["phi_a_eta"]) == 4.0e-5
+    assert float(op["phi_a_eta"]) == 5.0e-5
     assert args.unet_model["use_fp16"] is True  # bf16 torso on TPU
 
 
 def test_phi_recovery_on_respaced_chain():
     """The oracle-denoiser phi-recovery experiment of test_phi_recovery.py,
-    on a 4x-respaced chain with 4x etas — the fast preset's structure."""
+    on a 5x-respaced chain with 5x etas — the fast preset's structure."""
     T_orig, T_kept = 240, 60
 
     def smooth(key, shape):
