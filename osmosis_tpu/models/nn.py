@@ -369,7 +369,11 @@ CONV_DOT_MAX_TOKENS = 256
 # requires the layout to PERSIST across the segment (strip-batching convs
 # alone recovers only 5%).
 
-STRIP_MIN_TOKENS = 65536   # strip levels with >= this many spatial tokens
+STRIP_MIN_TOKENS = 1024    # strip levels with >= this many spatial tokens
+#   (production 256px model: strips at 32²..256², incl. through the
+#   attention blocks' flat-view round trips. Measured ladder with the
+#   rotated-kernel backward: 65536-only 24.2 → 16384 27.8 → 4096 28.3 →
+#   1024 29.0 guided steps/s — PERF.md round 3)
 STRIP_COUNT = 16           # measured best at 256² (vs 32/64/128)
 
 
@@ -384,6 +388,13 @@ def strip_count() -> int:
 
     v = os.environ.get("OSMOSIS_TPU_STRIP_COUNT")
     return int(v) if v else STRIP_COUNT
+
+
+def strip_min_tokens() -> int:
+    import os
+
+    v = os.environ.get("OSMOSIS_TPU_STRIP_MIN_TOKENS")
+    return int(v) if v else STRIP_MIN_TOKENS
 
 
 def spatial_tokens(x: jax.Array) -> int:
@@ -461,12 +472,45 @@ def _scf_bwd(res, dy5):
 _strip_conv3x3_flatbwd.defvjp(_scf_fwd, _scf_bwd)
 
 
+@jax.custom_vjp
+def _strip_conv3x3_rotbwd(x5, kernel):
+    """Strip conv whose backward is ANOTHER forward-geometry strip conv.
+
+    Autodiff of the halo'd conv derives a dgrad with [S,h+2,W,C] output
+    shape that the TPU conv emitter runs at only 74-80% of MXU peak, while
+    the forward-geometry strip conv runs at ~97% (round-3 profile). For a
+    stride-1 3x3 'same' conv, dx = conv_same(dy, rot180(k) with I/O
+    swapped) — exactly the same strip conv, so the backward reuses it. The
+    kernel gradient (training only) comes from the raw VJP; its unused slow
+    dgrad is dead code XLA eliminates."""
+    return _strip_conv3x3_raw(x5, kernel)
+
+
+def _scr_fwd(x5, kernel):
+    return _strip_conv3x3_raw(x5, kernel), (x5, kernel)
+
+
+def _scr_bwd(res, dy5):
+    x5, kernel = res
+    k_rot = jnp.flip(kernel, axis=(0, 1)).swapaxes(2, 3)
+    dx = _strip_conv3x3_raw(dy5, k_rot)
+    _, pull = jax.vjp(_strip_conv3x3_raw, x5, kernel)
+    _, dk = pull(dy5)  # dx from this pullback is discarded (DCE'd)
+    return dx, dk
+
+
+_strip_conv3x3_rotbwd.defvjp(_scr_fwd, _scr_bwd)
+
+
 def strip_conv3x3_apply(x5: jax.Array, kernel: jax.Array) -> jax.Array:
     import os
 
-    if os.environ.get("OSMOSIS_TPU_STRIP_BWD_FLAT") == "1":
-        return _strip_conv3x3_flatbwd(x5, kernel)
-    return _strip_conv3x3_raw(x5, kernel)
+    mode = os.environ.get("OSMOSIS_TPU_STRIP_BWD", "rot")
+    if os.environ.get("OSMOSIS_TPU_STRIP_BWD_FLAT") == "1" or mode == "flat":
+        return _strip_conv3x3_flatbwd(x5, kernel)  # measured 18% worse; record
+    if mode == "raw":
+        return _strip_conv3x3_raw(x5, kernel)  # autodiff bwd (slow dgrad)
+    return _strip_conv3x3_rotbwd(x5, kernel)
 
 
 def strip_conv1x1_apply(x5: jax.Array, kernel: jax.Array) -> jax.Array:

@@ -171,10 +171,10 @@ def _strip_repr(ts):
     t0 = ts[0]
     tok = onn.spatial_tokens(t0)
     if (t0.ndim == 4 and onn.strips_enabled()
-            and tok >= onn.STRIP_MIN_TOKENS
+            and tok >= onn.strip_min_tokens()
             and t0.shape[1] % onn.strip_count() == 0):
         return [onn.to_strips(t) for t in ts]
-    if t0.ndim == 5 and tok < onn.STRIP_MIN_TOKENS:
+    if t0.ndim == 5 and tok < onn.strip_min_tokens():
         return [onn.from_strips(t) for t in ts]
     return ts
 

@@ -70,6 +70,29 @@ def test_strip_conv_flatbwd_exact(monkeypatch):
     np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), rtol=1e-5, atol=1e-5)
 
 
+def test_strip_conv_rotbwd_exact(monkeypatch):
+    """Default backward (rotated-kernel forward-geometry strip conv): dx and
+    dkernel equal the autodiff of the raw strip conv."""
+    monkeypatch.setenv("OSMOSIS_TPU_STRIP_BWD", "rot")
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 8)).astype(np.float32)) * 0.1
+
+    out = onn.from_strips(onn.strip_conv3x3_apply(onn.to_strips(x, 8), w))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(flat_conv(x, w)))
+
+    gx, gw = jax.grad(
+        lambda v, k: jnp.sum(onn.strip_conv3x3_apply(onn.to_strips(v, 8), k) ** 2),
+        argnums=(0, 1),
+    )(x, w)
+    rx, rw = jax.grad(
+        lambda v, k: jnp.sum(flat_conv(v, k) ** 2), argnums=(0, 1)
+    )(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), rtol=1e-6, atol=1e-6)
+    # dkernel accumulates in a different contraction order — fp32 noise only
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), rtol=1e-4, atol=1e-4)
+
+
 def test_groupnorm_strips_pool_over_strips():
     """[B,S,h,W,C] GroupNorm statistics must pool over (S,h,W) — identical
     to the flat tensor's stats (the custom VJP reduces all mid axes)."""
