@@ -172,7 +172,9 @@ def _strip_repr(ts):
     tok = onn.spatial_tokens(t0)
     if (t0.ndim == 4 and onn.strips_enabled()
             and tok >= onn.strip_min_tokens()
-            and t0.shape[1] % onn.strip_count() == 0):
+            and t0.shape[1] % onn.strip_count() == 0
+            # strips need >= 2 rows each so an in-strip avg_pool stays legal
+            and t0.shape[1] // onn.strip_count() >= 2):
         return [onn.to_strips(t) for t in ts]
     if t0.ndim == 5 and tok < onn.strip_min_tokens():
         return [onn.from_strips(t) for t in ts]

@@ -143,6 +143,23 @@ def test_unet_strips_equal_flat(tiny_cfg, monkeypatch):
     )
 
 
+def test_unet_strips_tiny_threshold_degrades_gracefully(tiny_cfg, monkeypatch):
+    """A threshold so low that 1-row strips would arise (e.g. 16 rows /
+    16 strips) must fall back to flat at those levels, not crash in the
+    in-strip avg_pool."""
+    model = UNetModel(tiny_cfg)
+    x = jax.random.normal(jax.random.key(3), (1, 32, 32, 4))
+    t = jnp.asarray([5])
+    params = model.init(jax.random.key(0), x, t)
+    ref = model.apply(params, x, t)
+    monkeypatch.setattr(onn, "STRIP_MIN_TOKENS", 1)
+    monkeypatch.setattr(onn, "STRIP_COUNT", 16)
+    out = model.apply(params, x, t)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6
+    )
+
+
 def test_unet_strips_vmap(tiny_cfg, monkeypatch):
     """The fleet runner vmaps the model over images — the strip path must
     batch correctly."""
