@@ -87,6 +87,28 @@ def ssim(a, b, data_range=1.0, use_sample_covariance=True):
     ]))
 
 
+def evaluate_dirs(results_dir: str, gt_dir: str, resize_gt: int = 256) -> dict:
+    """Mean PSNR/SSIM of natsorted result images against natsorted GT."""
+    from osmosis_tpu.data.datasets import natsorted
+
+    res_files = natsorted(os.listdir(results_dir))
+    gt_files = natsorted(os.listdir(gt_dir))
+    assert len(res_files) <= len(gt_files), "more results than GT images"
+
+    psnrs, ssims = [], []
+    for rf, gf in zip(res_files, gt_files):
+        a = load01(os.path.join(results_dir, rf))
+        size = a.shape[0] if resize_gt else None
+        b = load01(os.path.join(gt_dir, gf), size=size)
+        psnrs.append(psnr(a, b))
+        ssims.append(ssim(a, b))
+    return {
+        "n": len(psnrs),
+        "psnr": float(np.mean(psnrs)),
+        "ssim": float(np.mean(ssims)),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--results", required=True)
@@ -95,24 +117,11 @@ def main():
                     help="preprocess GT through the same resize/crop (0 = off)")
     args = ap.parse_args()
 
-    from osmosis_tpu.data.datasets import natsorted
-
-    res_files = natsorted(os.listdir(args.results))
-    gt_files = natsorted(os.listdir(args.gt))
-    assert len(res_files) <= len(gt_files), "more results than GT images"
-
-    psnrs, ssims = [], []
-    for rf, gf in zip(res_files, gt_files):
-        a = load01(os.path.join(args.results, rf))
-        size = a.shape[0] if args.resize_gt else None
-        b = load01(os.path.join(args.gt, gf), size=size)
-        psnrs.append(psnr(a, b))
-        ssims.append(ssim(a, b))
-
+    out = evaluate_dirs(args.results, args.gt, args.resize_gt)
     print(json.dumps({
-        "n": len(psnrs),
-        "psnr_mean": round(float(np.mean(psnrs)), 3),
-        "ssim_mean": round(float(np.mean(ssims)), 4),
+        "n": out["n"],
+        "psnr_mean": round(out["psnr"], 3),
+        "ssim_mean": round(out["ssim"], 4),
     }))
 
 

@@ -3,7 +3,7 @@
 
 Runs a short respaced guided chain (the exact bench.py workload) under
 ``jax.profiler.trace`` — which works through the axon PJRT relay — then
-parses the TensorBoard trace (plugins/profile/*/\*.trace.json.gz, perfetto
+parses the TensorBoard trace (plugins/profile/ trace.json.gz, perfetto
 JSON, stdlib-parseable) and aggregates device-lane event durations into op
 categories (conv fwd/bwd, big elementwise fusions, reductions, copies, dots).
 

@@ -159,10 +159,24 @@ def bisect_layers(tmodel, fmodel, params, cfg, x, ts):
         h.remove()
 
     # ---- flax side: capture per-module intermediates -------------------
-    _, state = fmodel.apply(
-        params, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(ts),
-        capture_intermediates=True, mutable=["intermediates"],
-    )
+    # run FLAT (strips disabled): the strip representation is 5-D
+    # [B,S,h,W,C] mid-model, while the torch hooks produce NCHW — and the
+    # two paths are exactness-tested equal (tests/test_strip_conv.py), so
+    # parity bisection compares the flat layout
+    import os as _os
+
+    _prev = _os.environ.get("OSMOSIS_TPU_STRIP_CONV")
+    _os.environ["OSMOSIS_TPU_STRIP_CONV"] = "0"
+    try:
+        _, state = fmodel.apply(
+            params, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(ts),
+            capture_intermediates=True, mutable=["intermediates"],
+        )
+    finally:
+        if _prev is None:
+            del _os.environ["OSMOSIS_TPU_STRIP_CONV"]
+        else:
+            _os.environ["OSMOSIS_TPU_STRIP_CONV"] = _prev
     inter = state["intermediates"]
 
     def flax_out(name):
