@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--channels", type=int, default=96)
     ap.add_argument("--workdir", default="/tmp/osmosis_toy_demo")
     ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--global-N", type=int, default=1,
+                    help="GibbsDDRM full-chain restarts with phi warm-start")
     args = ap.parse_args()
 
     import jax
@@ -81,7 +83,8 @@ def main():
         record_process=False, record_every=200,
         change_input_output_channels=True, input_channels=4, output_channels=8,
         sample_pattern=dict(
-            pattern="pcgs", update_start=0.7, update_end=0, global_N=1,
+            pattern="pcgs", update_start=0.7, update_end=0,
+            global_N=args.global_N,
             local_M=1, s_start=1, s_end=0, n_iter=10,
             start_guidance=1, stop_guidance=0,
         ),
@@ -152,6 +155,7 @@ def main():
     )
     print(json.dumps({
         "scenes": args.scenes,
+        "global_N": args.global_N,
         "psnr_degraded": round(degraded["psnr"], 2),
         "psnr_restored": round(scores["psnr"], 2),
         "psnr_gain_db": round(scores["psnr"] - degraded["psnr"], 2),
