@@ -30,18 +30,22 @@ extern "C" {
 // normalizes (x/255 - 0.5) / 0.5.
 // ---------------------------------------------------------------------------
 void preprocess_rgb_u8(const uint8_t* src, int h, int w, int size, float* dst) {
+  // torchvision 0.14.1 (the reference's pin) _compute_resized_output_size:
+  // the long side TRUNCATES (int(size * long / short)); center_crop offsets
+  // use round-half-even (Python round) — std::nearbyint under the default
+  // FE_TONEAREST mode.
   int new_w, new_h;
   if (w <= h) {
     new_w = size;
-    new_h = std::max(size, (int)std::lround((double)h * size / w));
+    new_h = (int)((double)size * h / w);
   } else {
     new_h = size;
-    new_w = std::max(size, (int)std::lround((double)w * size / h));
+    new_w = (int)((double)size * w / h);
   }
   const double sx = (double)w / new_w;
   const double sy = (double)h / new_h;
-  const int left = (new_w - size) / 2;
-  const int top = (new_h - size) / 2;
+  const int left = (int)std::nearbyint((new_w - size) / 2.0);
+  const int top = (int)std::nearbyint((new_h - size) / 2.0);
 
 #pragma omp parallel for schedule(static)
   for (int oy = 0; oy < size; ++oy) {

@@ -18,9 +18,14 @@ from ..utils import native
 
 
 def _small_side_dims(h: int, w: int, size: int):
-    if w <= h:
-        return max(size, int(round(h * size / w))), size
-    return size, max(size, int(round(w * size / h)))
+    """torchvision 0.14.1 ``_compute_resized_output_size`` semantics (the
+    version the reference pins, environment.yml): the long side TRUNCATES —
+    ``int(size * long / short)`` — it does NOT round. A one-pixel size
+    difference here shifts the center crop half a pixel and pollutes every
+    real-weights comparison at the input."""
+    short, long = (w, h) if w <= h else (h, w)
+    new_short, new_long = size, int(size * long / short)
+    return (new_long, new_short) if w <= h else (new_short, new_long)
 
 
 def bilinear_resize_u8(arr: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
@@ -52,8 +57,10 @@ def center_crop(arr: np.ndarray, size: int) -> np.ndarray:
             ((pad_h // 2, pad_h - pad_h // 2), (pad_w // 2, pad_w - pad_w // 2), (0, 0)),
         )
         h, w = arr.shape[:2]
-    top = (h - size) // 2
-    left = (w - size) // 2
+    # torchvision 0.14.1 F.center_crop: int(round(diff / 2.0)) — Python's
+    # banker's rounding, NOT floor division (they differ when diff ≡ 3 mod 4)
+    top = int(round((h - size) / 2.0))
+    left = int(round((w - size) / 2.0))
     return arr[top : top + size, left : left + size]
 
 

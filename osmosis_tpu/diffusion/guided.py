@@ -199,8 +199,9 @@ def guided_sample_loop(
             version = getattr(jax.local_devices()[0].client, "platform_version", "")
             if "axon" in str(version):
                 print(
-                    "[osmosis_tpu] progress callbacks unsupported on this "
-                    "platform; continuing without live progress"
+                    "[osmosis_tpu] live progress callbacks unsupported on "
+                    "this platform; the pipeline prints a per-chain trace "
+                    "summary after each image instead"
                 )
                 progress_every = None
         except Exception:
@@ -509,12 +510,12 @@ def guided_sample_loop(
 
     ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
     carry0 = (x_init, phi0, opt_state0, jnp.zeros_like(x_init), buf_x0)
-    # OSMOSIS_TPU_SCAN_UNROLL>1 unrolls scan bodies so XLA can schedule one
+    # perf knob scan_unroll>1 unrolls scan bodies so XLA can schedule one
     # step's boundary layout copies behind the previous step's convs
     # (perf experiment knob; requires T % unroll == 0)
-    import os as _os
+    from .. import perf as _perf
 
-    unroll = int(_os.environ.get("OSMOSIS_TPU_SCAN_UNROLL", "1"))
+    unroll = int(_perf.get("scan_unroll"))
     if T % max(unroll, 1) != 0:
         unroll = 1
     if ltsp:

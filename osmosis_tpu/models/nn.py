@@ -281,9 +281,9 @@ class GroupNorm32(nn.Module):
             bias = jax.lax.slice_in_dim(bias, channel_offset, channel_offset + c, axis=0)
             groups = c // gw
 
-        import os
+        from .. import perf
 
-        if os.environ.get("OSMOSIS_TPU_FUSED_NORM_SILU", "1") == "0":
+        if not perf.get("fused_norm_silu"):
             # ablation fallback: unfused composition (identical math)
             h = group_norm(x, scale, bias, groups, self.epsilon)
             if film is not None:
@@ -369,32 +369,33 @@ CONV_DOT_MAX_TOKENS = 256
 # requires the layout to PERSIST across the segment (strip-batching convs
 # alone recovers only 5%).
 
-STRIP_MIN_TOKENS = 1024    # strip levels with >= this many spatial tokens
-#   (production 256px model: strips at 32²..256², incl. through the
-#   attention blocks' flat-view round trips. Measured ladder with the
-#   rotated-kernel backward: 65536-only 24.2 → 16384 27.8 → 4096 28.3 →
-#   1024 29.0 guided steps/s — PERF.md round 3)
-STRIP_COUNT = 16           # measured best at 256² (vs 32/64/128)
+# Measured defaults (PERF.md round-3 ladder) live in osmosis_tpu.perf:
+#   strip_min_tokens=1024 — production 256px model strips at 32²..256²,
+#   incl. through the attention blocks' flat-view round trips (ladder with
+#   the rotated-kernel backward: 65536-only 24.2 → 16384 27.8 → 4096 28.3
+#   → 1024 29.0 guided steps/s); strip_count=16 — best at 256² (vs
+#   32/64/128). NOTE trace-time semantics: see osmosis_tpu/perf.py — knobs
+#   are read while tracing; flipping them after a jitted apply has been
+#   traced (or served from the persistent compilation cache) has no effect
+#   on that executable.
 
 
 def strips_enabled() -> bool:
-    import os
+    from .. import perf
 
-    return os.environ.get("OSMOSIS_TPU_STRIP_CONV", "1") != "0"
+    return bool(perf.get("strip_conv"))
 
 
 def strip_count() -> int:
-    import os
+    from .. import perf
 
-    v = os.environ.get("OSMOSIS_TPU_STRIP_COUNT")
-    return int(v) if v else STRIP_COUNT
+    return int(perf.get("strip_count"))
 
 
 def strip_min_tokens() -> int:
-    import os
+    from .. import perf
 
-    v = os.environ.get("OSMOSIS_TPU_STRIP_MIN_TOKENS")
-    return int(v) if v else STRIP_MIN_TOKENS
+    return int(perf.get("strip_min_tokens"))
 
 
 def spatial_tokens(x: jax.Array) -> int:
@@ -503,10 +504,10 @@ _strip_conv3x3_rotbwd.defvjp(_scr_fwd, _scr_bwd)
 
 
 def strip_conv3x3_apply(x5: jax.Array, kernel: jax.Array) -> jax.Array:
-    import os
+    from .. import perf
 
-    mode = os.environ.get("OSMOSIS_TPU_STRIP_BWD", "rot")
-    if os.environ.get("OSMOSIS_TPU_STRIP_BWD_FLAT") == "1" or mode == "flat":
+    mode = perf.get("strip_bwd")
+    if mode == "flat":
         return _strip_conv3x3_flatbwd(x5, kernel)  # measured 18% worse; record
     if mode == "raw":
         return _strip_conv3x3_raw(x5, kernel)  # autodiff bwd (slow dgrad)
@@ -693,11 +694,9 @@ def dense(features: int, name: str, zero_init: bool = False, dtype: Any = jnp.fl
 def upsample_nearest_2x(x: jax.Array) -> jax.Array:
     """Nearest-neighbor 2x upsample, NHWC (unet.py:179-189).
 
-    On TPU this routes through a Pallas kernel (ops/upsample.py) — XLA's
-    broadcast lowering runs ~3x off the HBM roofline on the big maps; the
-    kernel builds doubled row-blocks in VMEM and stores them contiguously."""
-    import os
-
+    Default path is XLA's broadcast fusion (measured at/near roofline); the
+    Pallas kernel in ops/upsample.py is an opt-in negative-result record —
+    see the comment below."""
     if x.ndim == 5:  # strip representation: upsample within strips (rows
         # never cross strip boundaries under nearest-2x)
         b, s, h, w, c = x.shape
@@ -706,15 +705,17 @@ def upsample_nearest_2x(x: jax.Array) -> jax.Array:
         )
         return out.reshape(b, s, h * 2, w * 2, c)
     b, h, w, c = x.shape
-    # OPT-IN ONLY (OSMOSIS_TPU_PALLAS_UPSAMPLE=1), kept for documentation:
+    # OPT-IN ONLY (perf knob pallas_upsample), kept for documentation:
     # measured 24% WORSE end-to-end when enabled at the >16MB sites (Mosaic
     # lowers the in-kernel broadcast+reshape far below roofline: prior
     # sampling 19 -> 32 ms/step), and at <=16MB outputs XLA's scoped-vmem
     # promotion OOMs the stack. XLA's broadcast fusion wins; see PERF.md.
     out_bytes = 4 * h * w * c * x.dtype.itemsize
+    from .. import perf as _perf
+
     if (
         jax.default_backend() == "tpu"
-        and os.environ.get("OSMOSIS_TPU_PALLAS_UPSAMPLE")
+        and _perf.get("pallas_upsample")
         and out_bytes > 17 * 1024 * 1024
         and c % 128 == 0
         and h % 2 == 0 and w % 2 == 0

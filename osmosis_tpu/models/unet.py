@@ -173,8 +173,11 @@ def _strip_repr(ts):
     if (t0.ndim == 4 and onn.strips_enabled()
             and tok >= onn.strip_min_tokens()
             and t0.shape[1] % onn.strip_count() == 0
-            # strips need >= 2 rows each so an in-strip avg_pool stays legal
-            and t0.shape[1] // onn.strip_count() >= 2):
+            # strips need an EVEN row count >= 2 so an in-strip avg_pool_2x
+            # (nn.py) stays legal on res_down paths (e.g. H=48, S=16 would
+            # make 3-row strips whose reshape(b,s,h//2,2,...) fails)
+            and t0.shape[1] // onn.strip_count() >= 2
+            and (t0.shape[1] // onn.strip_count()) % 2 == 0):
         return [onn.to_strips(t) for t in ts]
     if t0.ndim == 5 and tok < onn.strip_min_tokens():
         return [onn.from_strips(t) for t in ts]
@@ -376,11 +379,14 @@ class UNetModel(nn.Module):
                 # attention flattens HW tokens — run it on the 4-D view
                 # (free reshapes in and out of the strip representation)
                 strip = h.ndim == 5
+                s_in = h.shape[1] if strip else None  # restore the INCOMING
+                # strip count, not the global default (they agree today, but
+                # a caller using to_strips(x, s) must round-trip losslessly)
                 out = attn_cls(
                     num_heads=lay["heads"], dtype=cfg.dtype,
                     name=name,
                 )(onn.from_strips(h) if strip else h)
-                return onn.to_strips(out) if strip else out
+                return onn.to_strips(out, s_in) if strip else out
             if lay["kind"] == "down":
                 if h.ndim == 5:
                     h = onn.from_strips(h)

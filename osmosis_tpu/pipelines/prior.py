@@ -33,6 +33,9 @@ def run_prior_sampling(
 
     _enable_cache()
     args = C.arguments_from_file(config_file)
+    from .. import perf as PF
+
+    PF.configure_from_dict(getattr(args, "perf", None))
     args.image_size = args.unet_model["image_size"]
     image_size = args.image_size
     devices = jax.local_devices()
@@ -56,6 +59,8 @@ def run_prior_sampling(
     else:
         out_path = update_save_dir_date(out_path)
     C.config_snapshot(config_file, pjoin(out_path, "configurations.txt"))
+    with open(pjoin(out_path, "configurations.txt"), "a") as _f:
+        _f.write(PF.snapshot_text())
     paths = make_output_dirs(
         out_path, args.save_singles, args.save_grids,
         singles_subdirs=("rgb", "depth_color"),

@@ -71,6 +71,36 @@ def _log_run_header(logger, args):
     logger.log(txt)
 
 
+def _log_trace_summary(logger, res, max_rows=10):
+    """Post-chain per-step telemetry — the reference's tqdm postfix
+    (gaussian_diffusion.py:276-296: time/loss/aux/live phi) reconstructed
+    from the scan's trace outputs after the chain completes. Zero hot-loop
+    cost, and it works on the axon relay where live host callbacks are
+    unsupported (guided.py silently disables progress_every there)."""
+    sep = np.asarray(res.sep_loss)  # [T, B]
+    T = sep.shape[0]
+    if T == 0:
+        return
+    idx = np.unique(np.linspace(0, T - 1, max_rows).round().astype(int))
+    lines = ["chain telemetry (scan trace; step runs t=T-1..0):"]
+    for i in idx:
+        phi_vals = {
+            k: np.round(np.asarray(v)[i, 0].astype(np.float64), 3).tolist()
+            for k, v in res.phi_trace.items()
+        }
+        row = f"  t={T - 1 - i:4d} loss={float(sep[i].mean()):9.3f}"
+        aux = {
+            k: round(float(np.asarray(v)[i]), 3)
+            for k, v in res.aux_trace.items()
+        }
+        if aux:
+            row += f" aux={aux}"
+        if phi_vals:
+            row += f" {phi_vals}"
+        lines.append(row)
+    logger.log("\n".join(lines))
+
+
 def _save_process_grid(snapshots, path):
     """Recorded x0-hat snapshots → rgb row + depth row grid
     (gaussian_diffusion.py:309-333)."""
@@ -100,6 +130,11 @@ def run_restoration(
 
     _enable_cache()
     args = C.arguments_from_file(config_file)
+    # optional perf: section — every trace-time perf knob is config surface
+    # (osmosis_tpu/perf.py); env vars remain a debugging override
+    from .. import perf as PF
+
+    PF.configure_from_dict(getattr(args, "perf", None))
     args.image_size = args.unet_model["image_size"]
     image_size = args.image_size
     # local devices: under multi-host each process only addresses its own
@@ -168,6 +203,10 @@ def run_restoration(
     else:
         out_path = update_save_dir_date(out_path, resume=resume)
     C.config_snapshot(config_file, pjoin(out_path, "configurations.txt"))
+    # append the EFFECTIVE perf knobs so the run's numerical/perf
+    # configuration is fully reproducible from its run dir
+    with open(pjoin(out_path, "configurations.txt"), "a") as _f:
+        _f.write(PF.snapshot_text())
     paths = make_output_dirs(out_path, args.save_singles, args.save_grids)
 
     logger = L.configure(out_path, rank_suffix=MH.rank_suffix() if multihost else "")
@@ -264,14 +303,14 @@ def run_restoration(
         logger.close()
         return out_path
 
-    # OPTIONAL async postprocessing (OSMOSIS_TPU_ASYNC_SAVE=1): a worker
+    # OPTIONAL async postprocessing (perf knob async_save): a worker
     # thread fetches+saves while the device runs the next chain. Measured
     # NEGATIVE through the axon relay (fetch-during-execute contention:
     # ~20 s/image vs 12 s synchronous on the fast preset), so the default
     # is synchronous; the knob exists for direct-attached TPUs.
     import concurrent.futures as _cf
 
-    async_save = bool(os.environ.get("OSMOSIS_TPU_ASYNC_SAVE"))
+    async_save = bool(PF.get("async_save"))
     saver = _cf.ThreadPoolExecutor(max_workers=1) if async_save else None
     pending = []
 
@@ -298,6 +337,8 @@ def run_restoration(
                 _save_process_grid(
                     res.snapshots, pjoin(paths["grids"], f"{orig_name}_process.png")
                 )
+        if not rgb_guidance:
+            _log_trace_summary(logger, res)
         dt = datetime.datetime.now() - start_time
         logger.log(f"Run time: {dt}")
         logger.logkv("image", ref_img_name)
@@ -589,6 +630,7 @@ def _run_fleet(
                             args, paths, orig_name, global_ii, ref_img, res_j,
                             operator, measure_config, logger, gt=gt,
                         )
+                        _log_trace_summary(logger, res_j)
                     if record_every is not None and paths["grids"] is not None:
                         _save_process_grid(
                             res_j.snapshots,

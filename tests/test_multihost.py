@@ -32,6 +32,82 @@ def _free_port():
     return port
 
 
+def _make_restore_cfg(root, steps=50, respacing=10, resume=False):
+    return dict(
+        save_dir="unused",
+        degamma_input=False, manual_seed=0, rgb_guidance=False,
+        save_singles=True, save_grids=False,
+        record_process=False, record_every=20,
+        resume=resume,
+        sample_pattern=PATTERN,
+        unet_model=TINY_UNET,
+        diffusion=dict(DIFFUSION, steps=steps, timestep_respacing=respacing),
+        conditioning=dict(
+            method="osmosis",
+            params=dict(
+                loss_function="norm", loss_weight="depth",
+                weight_function="gamma,1.4,1.4,1", scale="7,7,7,0.9",
+                gradient_x_prev=True, gradient_clip="True,0.005",
+            ),
+        ),
+        aux_loss=dict(aux_loss=dict(avrg_loss=0.5, val_loss=20)),
+        data=dict(batch_size=1, name="mh", root=root,
+                  stop_after=-1, ground_truth=False),
+        measurement=dict(
+            operator=dict(
+                name="underwater_physical_revised", optimizer="sgd",
+                depth_type="gamma", value="1.4,1.4,1",
+                phi_a="1.1,0.95,0.95", phi_a_eta=1e-5, phi_a_learn_flag=True,
+                phi_b="0.95, 0.8, 0.8", phi_b_eta=1e-5, phi_b_learn_flag=True,
+                phi_inf="0.14, 0.29, 0.49", phi_inf_eta=1e-5,
+                phi_inf_learn_flag=True,
+            ),
+            noise=dict(name="clean"),
+        ),
+    )
+
+
+def _write_dataset(root, n, size=40):
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        Image.fromarray(
+            rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+        ).save(pjoin(root, f"img_{i}.png"))
+
+
+def _launch_workers(n, tmp_path, mode="restore", crash_after=0, env_extra=None):
+    coordinator = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    env.pop("XLA_FLAGS", None)  # 1 local device per process
+    if env_extra:
+        env.update(env_extra)
+    args_tail = [mode] + ([str(crash_after)] if crash_after else [])
+    return [
+        subprocess.Popen(
+            [sys.executable, "-m", "tests.multihost_worker",
+             coordinator, str(n), str(pid), str(tmp_path)] + args_tail,
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(n)
+    ]
+
+
+def _drain(procs, budget=540):
+    outs = []
+    deadline = time.time() + budget
+    for p in procs:
+        timeout = max(10, deadline - time.time())
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    return outs
+
+
 @pytest.mark.timeout(600)
 def test_two_process_multihost_restoration(tmp_path):
     root = str(tmp_path / "imgs")
@@ -111,3 +187,123 @@ def test_two_process_multihost_restoration(tmp_path):
     # gather saw both ranks
     assert sorted(r0["gathered_ranks"]) == [0.0, 1.0]
     assert sorted(r1["gathered_ranks"]) == [0.0, 1.0]
+
+
+@pytest.mark.timeout(900)
+def test_four_process_multihost_restoration(tmp_path):
+    """4-process cluster, 5 images: every image restored exactly once, all
+    ranks join one run dir, rank-suffixed logs from every process."""
+    root = str(tmp_path / "imgs")
+    _write_dataset(root, 5)
+    cfg = _make_restore_cfg(root, steps=50, respacing=5)
+    with open(pjoin(str(tmp_path), "cfg.yaml"), "w") as f:
+        yaml.dump(cfg, f)
+
+    procs = _launch_workers(4, tmp_path)
+    outs = _drain(procs, budget=840)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert f"WORKER_OK {pid}" in out
+
+    reports = [
+        json.load(open(pjoin(str(tmp_path), f"report_{pid}.json")))
+        for pid in range(4)
+    ]
+    assert all(r["process_count"] == 4 for r in reports)
+    assert len({r["run_dir"] for r in reports}) == 1
+    assert reports[0]["outputs"] == [f"img_{i}.png" for i in range(5)]
+    for suffix in ("log.txt", "log-rank001.txt", "log-rank002.txt",
+                   "log-rank003.txt"):
+        assert suffix in reports[0]["log_files"], reports[0]["log_files"]
+    for r in reports:
+        assert sorted(r["gathered_ranks"]) == [0.0, 1.0, 2.0, 3.0]
+
+
+@pytest.mark.timeout(600)
+def test_two_process_multihost_prior(tmp_path):
+    """Prior sampling under multi-host: sample indices stride across hosts
+    into one shared run dir — every index sampled exactly once."""
+    cfg = dict(
+        save_dir="unused",
+        number_of_images=4, manual_seed=4321,
+        save_singles=True, save_grids=False,
+        record_process=False, record_every=20,
+        unet_model=TINY_UNET,
+        diffusion=dict(DIFFUSION, steps=50, timestep_respacing=10),
+    )
+    with open(pjoin(str(tmp_path), "prior_cfg.yaml"), "w") as f:
+        yaml.dump(cfg, f)
+
+    procs = _launch_workers(2, tmp_path, mode="prior")
+    outs = _drain(procs)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert f"WORKER_OK {pid}" in out
+
+    r0 = json.load(open(pjoin(str(tmp_path), "report_prior_0.json")))
+    r1 = json.load(open(pjoin(str(tmp_path), "report_prior_1.json")))
+    assert r0["run_dir"] == r1["run_dir"]
+    assert r0["outputs"] == [f"image_{i}.png" for i in range(4)]
+    assert sorted(r0["gathered_ranks"]) == [0.0, 1.0]
+    assert sorted(r1["gathered_ranks"]) == [0.0, 1.0]
+
+
+@pytest.mark.timeout(900)
+def test_multihost_crash_then_resume(tmp_path):
+    """Failure/resume contract (SURVEY section 5): a 2-process run is
+    hard-killed mid-job (every rank os._exits after saving its first image,
+    leaving 2 of 4 images on disk), then the job is RE-LAUNCHED with
+    ``resume: True`` — the new cluster re-enters the same run dir, skips
+    the finished images, and completes the stragglers with no duplicates."""
+    root = str(tmp_path / "imgs")
+    _write_dataset(root, 4)
+    with open(pjoin(str(tmp_path), "cfg.yaml"), "w") as f:
+        yaml.dump(_make_restore_cfg(root, steps=50, respacing=5), f)
+    with open(pjoin(str(tmp_path), "cfg_resume.yaml"), "w") as f:
+        yaml.dump(_make_restore_cfg(root, steps=50, respacing=5, resume=True), f)
+
+    # phase 1: both ranks die (exit 17) right after their first saved image
+    procs = _launch_workers(2, tmp_path, mode="restore_crash", crash_after=1)
+    outs = _drain(procs)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 17, (
+            f"worker {pid} should have crash-exited 17, got "
+            f"{p.returncode}:\n{out[-4000:]}"
+        )
+        assert f"WORKER_CRASH {pid}" in out
+
+    results_root = pjoin(str(tmp_path), "results")
+    partial = []
+    for dirpath, _, files in os.walk(results_root):
+        if dirpath.endswith(pjoin("single_images", "rgb")):
+            partial = sorted(files)
+            rgb_dir = dirpath
+    assert partial == ["img_0.png", "img_1.png"], partial
+
+    # phase 2: fresh cluster, resume config — stragglers complete
+    procs = _launch_workers(2, tmp_path, mode="resume")
+    outs = _drain(procs)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"resume worker {pid} failed:\n{out[-4000:]}"
+        assert f"WORKER_OK {pid}" in out
+
+    r0 = json.load(open(pjoin(str(tmp_path), "report_resume_0.json")))
+    r1 = json.load(open(pjoin(str(tmp_path), "report_resume_1.json")))
+    # re-entered the ORIGINAL run dir (no new runN allocated)
+    assert r0["run_dir"] == r1["run_dir"] == os.path.dirname(
+        os.path.dirname(rgb_dir)
+    )
+    # all 4 images exactly once, no duplicates anywhere else
+    assert r0["outputs"] == [f"img_{i}.png" for i in range(4)]
+    all_rgb_dirs = [
+        d for d, _, _ in os.walk(results_root)
+        if d.endswith(pjoin("single_images", "rgb"))
+    ]
+    assert all_rgb_dirs == [rgb_dir]
+    # the finished images were SKIPPED, not recomputed
+    logs = ""
+    for f in os.listdir(r0["run_dir"]):
+        if f.startswith("log"):
+            logs += open(pjoin(r0["run_dir"], f)).read()
+    assert "skipping image 0" in logs
+    assert "skipping image 1" in logs

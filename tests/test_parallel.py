@@ -40,12 +40,18 @@ def test_data_parallel_batch_math():
 
 
 def test_dryrun_multichip_8():
+    """Full driver dryrun: tiny-arch equivalence matrix (single-device vs
+    dp2/tp4 vs dp8 vs tp8) + the 552.8M production-width phase with its
+    sharded-vs-unsharded numerics comparison."""
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
 
 
-def test_dryrun_multichip_4():
+def test_dryrun_multichip_4(monkeypatch):
+    # the production-width phase is covered by the n=8 variant; skip it here
+    # to keep the single-core suite tractable
+    monkeypatch.setenv("OSMOSIS_DRYRUN_PROD", "0")
     import __graft_entry__ as g
 
     g.dryrun_multichip(4)

@@ -1,0 +1,75 @@
+"""Perf-knob config surface (osmosis_tpu/perf.py): every trace-time knob is
+settable via the YAML ``perf:`` section, env vars act as overrides only, and
+the effective values are reproducible from the run-dir snapshot."""
+
+import dataclasses
+
+import pytest
+
+from osmosis_tpu import perf
+from osmosis_tpu.models import nn as onn
+
+
+@pytest.fixture(autouse=True)
+def _clean_env_and_config(monkeypatch):
+    for env in perf._ENV.values():
+        monkeypatch.delenv(env, raising=False)
+    monkeypatch.delenv(perf._BWD_FLAT_ENV, raising=False)
+    # restore config defaults after each test
+    saved = dataclasses.replace(perf._CONFIG)
+    yield
+    for f in dataclasses.fields(saved):
+        setattr(perf._CONFIG, f.name, getattr(saved, f.name))
+
+
+def test_defaults_are_the_measured_best():
+    eff = perf.effective()
+    assert eff["strip_conv"] is True
+    assert eff["strip_count"] == 16
+    assert eff["strip_min_tokens"] == 1024
+    assert eff["strip_bwd"] == "rot"
+    assert eff["fused_norm_silu"] is True
+    assert eff["scan_unroll"] == 1
+    assert eff["async_save"] is False
+
+
+def test_env_overrides_config(monkeypatch):
+    perf.set_perf(strip_count=8)
+    assert perf.get("strip_count") == 8
+    monkeypatch.setenv("OSMOSIS_TPU_STRIP_COUNT", "32")
+    assert perf.get("strip_count") == 32  # env wins
+    monkeypatch.delenv("OSMOSIS_TPU_STRIP_COUNT")
+    assert perf.get("strip_count") == 8  # config resurfaces
+
+
+def test_bool_env_coercion(monkeypatch):
+    monkeypatch.setenv("OSMOSIS_TPU_STRIP_CONV", "0")
+    assert perf.get("strip_conv") is False
+    monkeypatch.setenv("OSMOSIS_TPU_STRIP_CONV", "1")
+    assert perf.get("strip_conv") is True
+
+
+def test_legacy_bwd_flat_alias(monkeypatch):
+    monkeypatch.setenv("OSMOSIS_TPU_STRIP_BWD_FLAT", "1")
+    assert perf.get("strip_bwd") == "flat"
+
+
+def test_configure_from_dict_and_unknown_key():
+    perf.configure_from_dict({"scan_unroll": 2, "strip_min_tokens": 4096})
+    assert perf.get("scan_unroll") == 2
+    assert perf.get("strip_min_tokens") == 4096
+    with pytest.raises(KeyError):
+        perf.configure_from_dict({"not_a_knob": 1})
+
+
+def test_nn_getters_follow_config():
+    perf.set_perf(strip_conv=False, strip_count=4, strip_min_tokens=99)
+    assert onn.strips_enabled() is False
+    assert onn.strip_count() == 4
+    assert onn.strip_min_tokens() == 99
+
+
+def test_snapshot_text_lists_every_knob():
+    txt = perf.snapshot_text()
+    for name in perf._ENV:
+        assert f"perf.{name}:" in txt

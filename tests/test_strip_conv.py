@@ -3,7 +3,7 @@ EXACT: halo'd batch-S convs + strip-layout GroupNorm/SiLU equal the flat
 formulation bitwise in forward and to fp32 tolerance in gradients.
 
 The production trigger is >= 65536 spatial tokens (256² maps); tests lower
-STRIP_MIN_TOKENS so tiny models exercise the path, including the in-block
+perf strip_min_tokens so tiny models exercise the path, including the in-block
 resampling transitions (res_down leaves strips, res_up enters them) and the
 attention flat-view round-trip.
 """
@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from osmosis_tpu import perf
 from osmosis_tpu.models import nn as onn
 from osmosis_tpu.models.unet import UNetConfig, UNetModel
 
@@ -129,8 +130,8 @@ def test_unet_strips_equal_flat(tiny_cfg, monkeypatch):
     g_flat = jax.grad(lambda v: jnp.sum(model.apply(params, v, t) ** 2))(x)
 
     monkeypatch.setenv("OSMOSIS_TPU_STRIP_CONV", "1")
-    monkeypatch.setattr(onn, "STRIP_MIN_TOKENS", 256)
-    monkeypatch.setattr(onn, "STRIP_COUNT", 8)
+    monkeypatch.setattr(perf._CONFIG, "strip_min_tokens", 256)
+    monkeypatch.setattr(perf._CONFIG, "strip_count", 8)
     out_strip = model.apply(params, x, t)
     g_strip = jax.grad(lambda v: jnp.sum(model.apply(params, v, t) ** 2))(x)
 
@@ -152,8 +153,8 @@ def test_unet_strips_tiny_threshold_degrades_gracefully(tiny_cfg, monkeypatch):
     t = jnp.asarray([5])
     params = model.init(jax.random.key(0), x, t)
     ref = model.apply(params, x, t)
-    monkeypatch.setattr(onn, "STRIP_MIN_TOKENS", 1)
-    monkeypatch.setattr(onn, "STRIP_COUNT", 16)
+    monkeypatch.setattr(perf._CONFIG, "strip_min_tokens", 1)
+    monkeypatch.setattr(perf._CONFIG, "strip_count", 16)
     out = model.apply(params, x, t)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6
@@ -167,8 +168,8 @@ def test_unet_strips_vmap(tiny_cfg, monkeypatch):
     xs = jax.random.normal(jax.random.key(2), (3, 1, 32, 32, 4))
     t = jnp.asarray([5])
     params = model.init(jax.random.key(0), xs[0], t)
-    monkeypatch.setattr(onn, "STRIP_MIN_TOKENS", 256)
-    monkeypatch.setattr(onn, "STRIP_COUNT", 8)
+    monkeypatch.setattr(perf._CONFIG, "strip_min_tokens", 256)
+    monkeypatch.setattr(perf._CONFIG, "strip_count", 8)
     batched = jax.vmap(lambda x: model.apply(params, x, t))(xs)
     for i in range(3):
         single = model.apply(params, xs[i], t)

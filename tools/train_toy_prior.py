@@ -61,6 +61,31 @@ def synth_scene_batch(key, batch, size):
     return jnp.concatenate([rgb, depth], axis=-1)
 
 
+def toy_unet_config(size: int, channels: int, arch: str):
+    """UNetConfig for the toy priors. arch='production' replays the full
+    6-level production plan (configs/osmosis_sample_config.yaml:47-63 /
+    unet.py:506-695 geometry: mult (1,1,2,2,4,4), attention at downsample
+    rates 8/16/32, resblock_updown, 64 head channels) at reduced width."""
+    from osmosis_tpu.models import UNetConfig
+
+    if arch == "production":
+        return UNetConfig(
+            image_size=size, in_channels=4, out_channels=8,
+            model_channels=channels, num_res_blocks=2,
+            attention_resolutions=(8, 16, 32),
+            channel_mult=(1, 1, 2, 2, 4, 4),
+            num_head_channels=64, use_scale_shift_norm=True,
+            resblock_updown=True,
+        )
+    return UNetConfig(
+        image_size=size, in_channels=4, out_channels=8,
+        model_channels=channels, num_res_blocks=2,
+        attention_resolutions=(4,), channel_mult=(1, 2),
+        num_head_channels=32, use_scale_shift_norm=True,
+        resblock_updown=True,
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=6000)
@@ -73,6 +98,15 @@ def main():
     ap.add_argument("--ema", type=float, default=0.999)
     ap.add_argument("--T", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--arch", default="toy", choices=["toy", "production"],
+                    help="'toy' = 2-level (1,2) mult, attention at one "
+                         "scale; 'production' = the FULL 6-level plan of "
+                         "/root/reference/guided_diffusion/unet.py:506-695 "
+                         "(channel_mult (1,1,2,2,4,4), attention at 3 "
+                         "scales, resblock_updown, 64 head channels) at "
+                         "reduced model_channels — exercises res_up/"
+                         "res_down, multi-level virtual skips and all "
+                         "attention sites with LEARNED weights")
     ap.add_argument("--out", default="checkpoints/toy_prior.msgpack")
     args = ap.parse_args()
 
@@ -85,13 +119,7 @@ def main():
 
     _enable()
 
-    cfg = UNetConfig(
-        image_size=args.size, in_channels=4, out_channels=8,
-        model_channels=args.channels, num_res_blocks=2,
-        attention_resolutions=(4,), channel_mult=(1, 2),
-        num_head_channels=32, use_scale_shift_norm=True,
-        resblock_updown=True,
-    )
+    cfg = toy_unet_config(args.size, args.channels, args.arch)
     model = UNetModel(cfg)
     params = jax.jit(model.init)(
         jax.random.key(args.seed),

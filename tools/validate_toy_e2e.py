@@ -64,6 +64,9 @@ def main():
     ap.add_argument("--sampler", default="ddpm", choices=["ddpm", "ltsp"],
                     help="ltsp = Lie-Trotter splitting with PLMS4 diffusion "
                          "substep (arXiv 2301.11558) — fewer steps, same quality")
+    ap.add_argument("--arch", default="toy", choices=["toy", "production"],
+                    help="must match the trained checkpoint's "
+                         "train_toy_prior.py --arch")
     ap.add_argument("--save-png", default=None,
                     help="save a GT / degraded / restored / depth strip here")
     args = ap.parse_args()
@@ -72,21 +75,15 @@ def main():
     from osmosis_tpu.diffusion.sampler import SamplerConfig
     from osmosis_tpu.diffusion.schedules import make_schedule
     from osmosis_tpu.guidance.operators import get_operator
-    from osmosis_tpu.models import UNetConfig, UNetModel
+    from osmosis_tpu.models import UNetModel
     from osmosis_tpu.models.convert import load_params_msgpack
     from osmosis_tpu.utils.compilation_cache import enable as _enable
 
     _enable()
 
-    from tools.train_toy_prior import synth_scene_batch
+    from tools.train_toy_prior import synth_scene_batch, toy_unet_config
 
-    cfg = UNetConfig(
-        image_size=args.size, in_channels=4, out_channels=8,
-        model_channels=args.channels, num_res_blocks=2,
-        attention_resolutions=(4,), channel_mult=(1, 2),
-        num_head_channels=32, use_scale_shift_norm=True,
-        resblock_updown=True,
-    )
+    cfg = toy_unet_config(args.size, args.channels, args.arch)
     model = UNetModel(cfg)
     params = load_params_msgpack(args.checkpoint)
 
