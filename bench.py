@@ -43,7 +43,7 @@ def _force_sync(out):
     np.asarray(jax.tree_util.tree_leaves(out)[0])
 
 
-def build_guided_run(dtype=jnp.bfloat16, n_iter=20, image_size=256):
+def build_guided_run(dtype=jnp.bfloat16, n_iter=20, image_size=256, batch=1):
     from osmosis_tpu.diffusion.guided import GuidanceConfig, guided_sample_loop
     from osmosis_tpu.diffusion.sampler import SamplerConfig
     from osmosis_tpu.diffusion.schedules import make_schedule
@@ -74,7 +74,7 @@ def build_guided_run(dtype=jnp.bfloat16, n_iter=20, image_size=256):
     # 1000-step schedule respaced to BENCH_STEPS — identical per-step compute
     schedule = make_schedule("linear", 1000, timestep_respacing=BENCH_STEPS)
     operator = get_operator(
-        "underwater_physical_revised", batch_size=1, optimizer="sgd",
+        "underwater_physical_revised", batch_size=batch, optimizer="sgd",
         depth_type="gamma", value="1.4,1.4,1",
         phi_a="1.1,0.95,0.95", phi_b="0.95,0.8,0.8", phi_inf="0.14,0.29,0.49",
     )
@@ -102,8 +102,8 @@ def build_guided_run(dtype=jnp.bfloat16, n_iter=20, image_size=256):
         return res.sample, res.phi
 
     run = jax.jit(_run)
-    x = jax.random.normal(jax.random.key(1), (1, image_size, image_size, 4))
-    y = jax.random.uniform(jax.random.key(2), (1, image_size, image_size, 3),
+    x = jax.random.normal(jax.random.key(1), (batch, image_size, image_size, 4))
+    y = jax.random.uniform(jax.random.key(2), (batch, image_size, image_size, 3),
                            minval=-1.0, maxval=1.0)
     return run, params, x, y
 

@@ -92,11 +92,19 @@ def make_grid(
 
 
 def save_png(img01: np.ndarray, path: str):
-    """HWC (or HW) float [0,1] → 8-bit PNG."""
+    """HWC (or HW) float [0,1] → 8-bit PNG.
+
+    ATOMIC: writes to a temp file then os.replace — the per-image resume
+    contract (restore.py skip-if-output-exists) keys on file EXISTENCE, so
+    a process killed mid-write must never leave a truncated PNG under the
+    final name (see tests/test_multihost.py crash-then-resume)."""
     arr = (np.clip(np.nan_to_num(img01), 0.0, 1.0) * 255.0).round().astype(np.uint8)
     if arr.ndim == 3 and arr.shape[-1] == 1:
         arr = arr[..., 0]
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    if arr.ndim == 3 and arr.shape[-1] == 3 and native.png_write_rgb8(path, arr):
+    tmp = path + ".tmp"
+    if arr.ndim == 3 and arr.shape[-1] == 3 and native.png_write_rgb8(tmp, arr):
+        os.replace(tmp, path)
         return
-    Image.fromarray(arr).save(path)
+    Image.fromarray(arr).save(tmp, format="PNG")
+    os.replace(tmp, path)

@@ -262,23 +262,33 @@ def test_multihost_crash_then_resume(tmp_path):
     with open(pjoin(str(tmp_path), "cfg_resume.yaml"), "w") as f:
         yaml.dump(_make_restore_cfg(root, steps=50, respacing=5, resume=True), f)
 
-    # phase 1: both ranks die (exit 17) right after their first saved image
+    # phase 1: rank 0 hard-exits (17) right after its first saved image;
+    # the OTHER rank either reaches its own crash point (17) or is killed
+    # by the JAX distributed runtime when it notices the dead coordinator
+    # (exit 1, "detected fatal errors") — both are real failure modes and
+    # both must leave a resumable run dir
     procs = _launch_workers(2, tmp_path, mode="restore_crash", crash_after=1)
     outs = _drain(procs)
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 17, (
-            f"worker {pid} should have crash-exited 17, got "
-            f"{p.returncode}:\n{out[-4000:]}"
-        )
-        assert f"WORKER_CRASH {pid}" in out
+    assert procs[0].returncode == 17, (
+        f"rank 0 should have crash-exited 17, got "
+        f"{procs[0].returncode}:\n{outs[0][-4000:]}"
+    )
+    assert "WORKER_CRASH 0" in outs[0]
+    assert procs[1].returncode != 0, (
+        f"rank 1 should have died:\n{outs[1][-4000:]}"
+    )
 
     results_root = pjoin(str(tmp_path), "results")
-    partial = []
+    partial, rgb_dir = [], None
     for dirpath, _, files in os.walk(results_root):
         if dirpath.endswith(pjoin("single_images", "rgb")):
             partial = sorted(files)
             rgb_dir = dirpath
-    assert partial == ["img_0.png", "img_1.png"], partial
+    # rank 0 definitely saved img_0 before dying; rank 1's progress depends
+    # on which failure mode hit it — either way nothing is fully restored
+    assert rgb_dir is not None
+    assert "img_0.png" in partial
+    assert len(partial) < 4, partial
 
     # phase 2: fresh cluster, resume config — stragglers complete
     procs = _launch_workers(2, tmp_path, mode="resume")
@@ -300,10 +310,15 @@ def test_multihost_crash_then_resume(tmp_path):
         if d.endswith(pjoin("single_images", "rgb"))
     ]
     assert all_rgb_dirs == [rgb_dir]
-    # the finished images were SKIPPED, not recomputed
+    # every phase-1 image was SKIPPED, not recomputed; and no truncated
+    # PNGs survived the kill (save_png writes atomically)
     logs = ""
     for f in os.listdir(r0["run_dir"]):
         if f.startswith("log"):
             logs += open(pjoin(r0["run_dir"], f)).read()
-    assert "skipping image 0" in logs
-    assert "skipping image 1" in logs
+    for name in partial:
+        idx = name.split("_")[1].split(".")[0]
+        assert f"skipping image {idx}" in logs
+    for name in r0["outputs"]:
+        img = Image.open(pjoin(rgb_dir, name))
+        img.verify()  # raises on a truncated file

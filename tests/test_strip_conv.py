@@ -161,6 +161,29 @@ def test_unet_strips_tiny_threshold_degrades_gracefully(tiny_cfg, monkeypatch):
     )
 
 
+def test_unet_strips_odd_rows_fall_back_to_flat(monkeypatch):
+    """H divisible by strip_count but with an ODD row count per strip
+    (48 rows / 16 strips = 3) must fall back to flat at that level — the
+    in-strip avg_pool_2x reshape would fail at trace time on res_down
+    paths otherwise (advisor finding r1)."""
+    cfg = UNetConfig(
+        image_size=48, in_channels=4, model_channels=32, out_channels=8,
+        num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+        num_head_channels=16, resblock_updown=True,
+    )
+    model = UNetModel(cfg)
+    x = jax.random.normal(jax.random.key(7), (1, 48, 48, 4))
+    t = jnp.asarray([5])
+    params = model.init(jax.random.key(0), x, t)
+    ref = model.apply(params, x, t)
+    monkeypatch.setattr(perf._CONFIG, "strip_min_tokens", 1)
+    monkeypatch.setattr(perf._CONFIG, "strip_count", 16)
+    out = model.apply(params, x, t)  # would raise without the even-rows guard
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6
+    )
+
+
 def test_unet_strips_vmap(tiny_cfg, monkeypatch):
     """The fleet runner vmaps the model over images — the strip path must
     batch correctly."""

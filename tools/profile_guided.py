@@ -45,6 +45,9 @@ def short_tf_op(tf_op: str) -> str:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="image batch for the guided step (batch>1 profiles "
+                         "the single-chip fleet pathology, PERF.md)")
     ap.add_argument("--out", default="/tmp/osmosis_trace")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--parse-only", action="store_true",
@@ -60,7 +63,7 @@ def main():
 
         _enable()
         bench.BENCH_STEPS = args.steps
-        run, params, x, y = bench.build_guided_run()
+        run, params, x, y = bench.build_guided_run(batch=args.batch)
         key = jax.random.key(3)
         # warm up (compile) outside the trace
         out = run(params, x, y, key)

@@ -67,6 +67,11 @@ def main():
     ap.add_argument("--arch", default="toy", choices=["toy", "production"],
                     help="must match the trained checkpoint's "
                          "train_toy_prior.py --arch")
+    ap.add_argument("--oracle-phi", action="store_true",
+                    help="subsystem isolation: initialize phi at the TRUE "
+                         "water parameters and freeze it (learn flags off) "
+                         "— separates prior/guidance health from the joint "
+                         "phi descent (VALIDATION.md round 3)")
     ap.add_argument("--save-png", default=None,
                     help="save a GT / degraded / restored / depth strip here")
     args = ap.parse_args()
@@ -96,12 +101,20 @@ def main():
     # production depth conversion (gamma: z = ((d+1.4)*1.4)^1 in [0.56, 3.36],
     # positive and monotone — the shipped configs' mapping) makes depth
     # physically observable through both attenuation and backscatter
-    op_kw = dict(
-        optimizer=args.optimizer, depth_type="gamma", value="1.4,1.4,1",
-        phi_a="0.7,0.6,0.5", phi_a_eta=args.phi_eta, phi_a_learn_flag=True,
-        phi_b="0.6,0.5,0.45", phi_b_eta=args.phi_eta, phi_b_learn_flag=True,
-        phi_inf="0.14,0.29,0.49", phi_inf_eta=args.phi_eta, phi_inf_learn_flag=True,
-    )
+    if args.oracle_phi:
+        op_kw = dict(
+            optimizer=args.optimizer, depth_type="gamma", value="1.4,1.4,1",
+            phi_a="0.55,0.45,0.35", phi_a_eta=0.0, phi_a_learn_flag=False,
+            phi_b="0.5,0.4,0.35", phi_b_eta=0.0, phi_b_learn_flag=False,
+            phi_inf="0.18,0.32,0.45", phi_inf_eta=0.0, phi_inf_learn_flag=False,
+        )
+    else:
+        op_kw = dict(
+            optimizer=args.optimizer, depth_type="gamma", value="1.4,1.4,1",
+            phi_a="0.7,0.6,0.5", phi_a_eta=args.phi_eta, phi_a_learn_flag=True,
+            phi_b="0.6,0.5,0.45", phi_b_eta=args.phi_eta, phi_b_learn_flag=True,
+            phi_inf="0.14,0.29,0.49", phi_inf_eta=args.phi_eta, phi_inf_learn_flag=True,
+        )
     operator = get_operator("underwater_physical_revised", batch_size=1, **op_kw)
 
     schedule = make_schedule("linear", args.T, timestep_respacing=args.respacing)
