@@ -428,7 +428,16 @@ def _halo_rows(x: jax.Array) -> jax.Array:
 
 def _strip_conv3x3_raw(x5: jax.Array, kernel: jax.Array) -> jax.Array:
     """3x3 'same' conv on the strip representation, batch ONLY over axis 1
-    (axis 0 is the true batch; vmap-safe because it is never reshaped)."""
+    (axis 0 is the true batch; vmap-safe because it is never reshaped).
+
+    The per-image Python loop is deliberate. Folding the true batch into
+    the strip axis (one batch-(B*S) conv via 5-D halo concats + reshape)
+    was implemented and measured WORSE on both paths in round 4:
+    batch-1 31.0 → 29.1 guided steps/s, direct batch-4 154 → 175 ms/step
+    (+16 ms/step of data-formatting layout transposes around the reshape
+    — tools/profile_guided.py --batch 4). The vmapped fleet path never
+    sees this loop anyway: vmap lifts the image axis straight into the
+    conv's batch dimension."""
     b = x5.shape[0]
     outs = []
     for i in range(b):  # b == 1 in every latency path
