@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--seed", type=int, default=123)
     ap.add_argument("--global-N", type=int, default=1,
                     help="GibbsDDRM full-chain restarts with phi warm-start")
+    ap.add_argument("--arch", default="toy", choices=["toy", "production"],
+                    help="must match the checkpoint's train_toy_prior.py "
+                         "--arch; 'production' = full 6-level plan, "
+                         "attention at 3 scales (expressed through the "
+                         "public YAML surface)")
     args = ap.parse_args()
 
     import jax
@@ -91,12 +96,21 @@ def main():
         unet_model=dict(
             image_size=args.size, num_channels=args.channels,
             num_res_blocks=2,
-            channel_mult="1,2",
+            channel_mult=(
+                "1,1,2,2,4,4" if args.arch == "production" else "1,2"
+            ),
             learn_sigma=True, class_cond=False, use_checkpoint=False,
-            # reference semantics: ds = image_size // res → res 16 = ds 4,
-            # the toy prior's attention placement (train_toy_prior.py)
-            attention_resolutions=str(args.size // 4),
-            num_heads=4, num_head_channels=32, num_heads_upsample=-1,
+            # reference semantics: ds = image_size // res. toy arch:
+            # attention at ds 4 (res size//4). production arch: attention
+            # at ds 8/16/32 (train_toy_prior.toy_unet_config), expressed
+            # as resolutions size//8, size//16, size//32
+            attention_resolutions=(
+                f"{args.size // 8},{args.size // 16},{args.size // 32}"
+                if args.arch == "production" else str(args.size // 4)
+            ),
+            num_heads=4,
+            num_head_channels=64 if args.arch == "production" else 32,
+            num_heads_upsample=-1,
             use_scale_shift_norm=True, dropout=0.0, resblock_updown=True,
             use_fp16=False, use_new_attention_order=False,
             model_path=args.checkpoint, pretrain_model="osmosis",

@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--T", type=int, default=1000)
     ap.add_argument("--respacing", default="200")
     ap.add_argument("--n-iter", type=int, default=10)
+    ap.add_argument("--update-start", type=float, default=0.7,
+                    help="pcgs update_start: phi is frozen above "
+                         "update_start*T; 1.0 lets phi descend from the "
+                         "first step (probes the wrong-basin mode, "
+                         "VALIDATION.md 3b)")
     ap.add_argument("--scale", default="2,2,2,1",
                     help="guidance scale; norm-loss gradients shrink ~1/size "
                          "per pixel, so larger images need a larger scale "
@@ -119,7 +124,8 @@ def main():
 
     schedule = make_schedule("linear", args.T, timestep_respacing=args.respacing)
     pattern = dict(
-        pattern="pcgs", update_start=0.7, update_end=0, global_N=1, local_M=1,
+        pattern="pcgs", update_start=args.update_start, update_end=0,
+        global_N=1, local_M=1,
         s_start=1, s_end=0, n_iter=args.n_iter, start_guidance=1, stop_guidance=0,
     )
     # full production guidance recipe: depth-weighted loss + the aux
