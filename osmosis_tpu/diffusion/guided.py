@@ -216,6 +216,9 @@ def guided_sample_loop(
     # guides every step / never alternates (true for all shipped configs)
     always_guided = bool(masks_np["guidance"].all())
     never_alternates = bool((masks_np["alternate_len"] == 1).all())
+    # phi warm phase is off in all reference presets; when off the extra
+    # fori_loop never enters the graph (zero compile/runtime delta)
+    any_phi_warmup = bool(masks_np["phi_warmup"].any())
 
     aux_fn = make_aux_loss_fn(dict(gcfg.aux_loss))
     aux_names = [k for k, _ in gcfg.aux_loss]
@@ -322,6 +325,16 @@ def guided_sample_loop(
             phi_, st_ = carry
             g = jax.grad(lambda p: loss_terms(x0_c, p)[0])(phi_)
             return opt.update(phi_, g, st_)
+
+        if any_phi_warmup:
+            # phi warm phase (schedule_masks.pattern_masks): a one-off burst
+            # of physics-only descent at the unfreeze boundary. Dynamic trip
+            # count (nonzero at exactly one t), so a fori_loop — the body is
+            # a handful of tiny fused kernels, and it runs once per chain.
+            phi, opt_state = jax.lax.fori_loop(
+                0, masks["phi_warmup"][t], lambda _, c: phi_body(c),
+                (phi, opt_state),
+            )
 
         if gcfg.n_iter <= 32:
             def unrolled(carry):

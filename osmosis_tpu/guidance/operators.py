@@ -91,6 +91,15 @@ class RGBGuidanceOperator(Operator):
     pass
 
 
+def _parse_eta(eta):
+    """Scalar eta, or per-channel [C] array from a comma list / sequence."""
+    if isinstance(eta, str) and "," in eta:
+        return np.asarray([float(x) for x in eta.split(",")], np.float32)
+    if isinstance(eta, (list, tuple)):
+        return np.asarray([float(x) for x in eta], np.float32)
+    return float(eta)
+
+
 @dataclasses.dataclass(frozen=True)
 class PhysicsOperator(Operator):
     """Shared phi bookkeeping for the three learnable operators."""
@@ -103,10 +112,13 @@ class PhysicsOperator(Operator):
             for name, init, _, _ in self.phi_specs
         }
 
-    def etas(self) -> Dict[str, float]:
-        # eta is zeroed when the learn flag is off (measurements.py:239-242)
+    def etas(self) -> Dict[str, Any]:
+        # eta is zeroed when the learn flag is off (measurements.py:239-242).
+        # Extension beyond the reference: a comma-separated eta (e.g.
+        # "1e-5,2e-5,1e-5") gives PER-CHANNEL learning rates — broadcast
+        # against the [B, C] phi entries inside the optimizer update.
         return {
-            name: (float(eta) if learn else 0.0)
+            name: (_parse_eta(eta) if learn else 0.0)
             for name, _, eta, learn in self.phi_specs
         }
 

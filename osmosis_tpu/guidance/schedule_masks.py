@@ -54,11 +54,30 @@ def _alternate_length(sample_pattern: Optional[dict], t: int, T: int) -> int:
 
 def pattern_masks(sample_pattern: Optional[dict], num_timesteps: int) -> Dict[str, np.ndarray]:
     """Per-timestep arrays: guidance[t] (bool), freeze_phi[t] (bool),
-    alternate_len[t] (int32)."""
+    alternate_len[t] (int32), phi_warmup[t] (int32)."""
     T = num_timesteps
     guidance = np.array([_guidance_flag(sample_pattern, t, T) for t in range(T)])
     freeze = np.array([_is_freeze_phi(sample_pattern, t, T) for t in range(T)])
     alt = np.array(
         [_alternate_length(sample_pattern, t, T) for t in range(T)], dtype=np.int32
     )
-    return {"guidance": guidance, "freeze_phi": freeze, "alternate_len": alt}
+    # phi warm phase (extension beyond the reference; default 0 == exact
+    # reference semantics): `phi_warmup_iters` EXTRA phi-only iterations at
+    # the FIRST step of the reverse chain where phi unfreezes. Rationale
+    # (VALIDATION.md 3b): with phi frozen above update_start*T, the chain
+    # fits the measurement by bending J before phi ever moves; a burst of
+    # physics-only descent against the current x0-hat at the unfreeze
+    # boundary re-anchors phi before the joint descent resumes.
+    warm = np.zeros(T, dtype=np.int32)
+    n_warm = int((sample_pattern or {}).get("phi_warmup_iters", 0) or 0)
+    if n_warm > 0:
+        for t in range(T - 1, -1, -1):  # reverse-chain order
+            if not freeze[t]:
+                warm[t] = n_warm
+                break
+    return {
+        "guidance": guidance,
+        "freeze_phi": freeze,
+        "alternate_len": alt,
+        "phi_warmup": warm,
+    }

@@ -73,11 +73,14 @@ def make_batched_guided_runner(
             phi0s = jax.tree_util.tree_map(
                 lambda a: jnp.broadcast_to(a, (n,) + a.shape), phi1
             )
-            if opt0s is None:
-                opt1 = make_phi_optimizer(operator.optimizer, operator.etas()).init(phi1)
-                opt0s = jax.tree_util.tree_map(
-                    lambda a: jnp.broadcast_to(a, (n,) + a.shape), opt1
-                )
+        if opt0s is None:
+            # cold optimizer state — also the global_opt_reset path, where a
+            # warm phi rides with freshly-zeroed optimizer moments
+            phi1 = {k: jnp.asarray(v) for k, v in operator.phi_init().items()}
+            opt1 = make_phi_optimizer(operator.optimizer, operator.etas()).init(phi1)
+            opt0s = jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(a, (n,) + a.shape), opt1
+            )
         return jitted(params, xs, ys, keys, phi0s, opt0s)
 
     return run

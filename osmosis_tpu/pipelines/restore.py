@@ -287,6 +287,12 @@ def run_restoration(
         global_N = sample_pattern.get("global_N", 1)
     elif sample_pattern["pattern"] != "original":
         raise ValueError(f"Unrecognized sample pattern: {sample_pattern['pattern']}")
+    # extension (default False == reference parity): reset the phi
+    # OPTIMIZER state between global chains while phi itself warm-starts.
+    # Adam/RMSprop moments integrated over chain k over-step when chain k+1
+    # replays the schedule from pure noise (VALIDATION.md 3c measured the
+    # carried-moments variant worse at toy scale).
+    global_opt_reset = bool(sample_pattern.get("global_opt_reset", False))
 
     stop_after = data_config.get("stop_after", -1)
 
@@ -390,7 +396,8 @@ def run_restoration(
                 )
             # device arrays thread into the next global iteration without a
             # host round-trip; the save path fetches its own copy
-            phi_carry, opt_carry = res.phi, res.opt_state
+            phi_carry = res.phi
+            opt_carry = opt_cold if global_opt_reset else res.opt_state
             gt = (gt_rgb, gt_depth) if gt_flag else None
             if async_save:
                 pending.append(saver.submit(
@@ -613,7 +620,9 @@ def _run_fleet(
             with prof.phase("fleet_sample"):
                 res = fleet_run(params, xs, ys, keys, phi0s, opt0s)
                 res = jax.tree_util.tree_map(np.asarray, res)
-            phi0s, opt0s = res.phi, res.opt_state
+            phi0s = res.phi
+            # global_opt_reset (see the serial path): None re-inits cold
+            opt0s = None if sample_pattern.get("global_opt_reset") else res.opt_state
 
             with prof.phase("fleet_save"):
                 for j in range(n_real):

@@ -73,6 +73,37 @@ def test_batched_equals_independent():
         )
 
 
+def test_warm_phi_cold_opt():
+    """global_opt_reset path: warm phi with opt0s=None must re-init cold
+    optimizer moments (restore.py threads res.phi + None between global
+    chains) and match an explicit cold-state call bit-for-bit."""
+    sch, op, gcfg, scfg = _setup()
+    n = 2
+    rng = np.random.default_rng(4)
+    xs = jnp.asarray(rng.standard_normal((n, HW, HW, 4)).astype(np.float32))
+    ys = jnp.asarray(rng.uniform(-1, 1, (n, HW, HW, 3)).astype(np.float32))
+    keys = jax.random.split(jax.random.key(5), n)
+
+    run = make_batched_guided_runner(
+        _model_apply, sch, op, gcfg, scfg, sample_pattern=PATTERN
+    )
+    first = run({}, xs, ys, keys)
+
+    # second chain: warm phi, reset opt (None) vs explicit cold opt state
+    from osmosis_tpu.guidance.phi_optim import make_phi_optimizer
+
+    phi1 = {k: jnp.asarray(v) for k, v in op.phi_init().items()}
+    opt_cold = make_phi_optimizer(op.optimizer, op.etas()).init(phi1)
+    opt_cold_n = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (n,) + a.shape), opt_cold
+    )
+    a = run({}, xs, ys, keys, phi0s=first.phi, opt0s=None)
+    b = run({}, xs, ys, keys, phi0s=first.phi, opt0s=opt_cold_n)
+    np.testing.assert_array_equal(np.asarray(a.sample), np.asarray(b.sample))
+    for k in a.phi:
+        np.testing.assert_array_equal(np.asarray(a.phi[k]), np.asarray(b.phi[k]))
+
+
 def test_batched_runner_dp_sharded():
     sch, op, gcfg, scfg = _setup()
     mesh = make_mesh(8, dp=8, tp=1)

@@ -164,6 +164,52 @@ def test_pattern_masks_truth_table(pattern):
         assert masks["guidance"][t] == guidance_ref, t
 
 
+def test_phi_warmup_mask():
+    """Extension knob: phi_warmup_iters places a one-off iteration burst at
+    exactly the FIRST unfrozen step of the reverse chain; default 0 keeps
+    every mask zero (reference semantics untouched)."""
+    T = 100
+    # default / absent: all zeros
+    assert not pattern_masks(PCGS, T)["phi_warmup"].any()
+    assert not pattern_masks(dict(pattern="original"), T)["phi_warmup"].any()
+
+    masks = pattern_masks({**PCGS, "phi_warmup_iters": 50}, T)
+    warm = masks["phi_warmup"]
+    freeze = masks["freeze_phi"]
+    # unfreeze boundary for update_start=0.7: frozen iff t > 70
+    first_unfrozen = max(t for t in range(T) if not freeze[t])
+    assert warm[first_unfrozen] == 50
+    assert warm.sum() == 50  # exactly one step carries the burst
+    # warmup never lands on a frozen step
+    assert not (warm > 0)[freeze].any()
+
+
+def test_per_channel_eta():
+    op = OPS.get_operator(
+        "underwater_physical_revised",
+        phi_a="1,1,1", phi_b="1,1,1", phi_inf="0,0,0",
+        phi_a_eta="1e-5,2e-5,3e-5", phi_b_eta=[1e-4, 2e-4, 3e-4],
+        phi_inf_eta=1e-5, phi_inf_learn_flag=False,
+        depth_type="original", value="1.4,1.4,1",
+    )
+    etas = op.etas()
+    np.testing.assert_allclose(etas["phi_a"], [1e-5, 2e-5, 3e-5])
+    np.testing.assert_allclose(etas["phi_b"], [1e-4, 2e-4, 3e-4])
+    assert etas["phi_inf"] == 0.0
+
+    # the functional sgd optimizer broadcasts [C] etas over the [B, C] phi
+    from osmosis_tpu.guidance.phi_optim import make_phi_optimizer
+
+    opt = make_phi_optimizer("sgd", etas)
+    phi = {k: jnp.ones((2, 3)) for k in ("phi_a", "phi_b", "phi_inf")}
+    grads = {k: jnp.ones((2, 3)) for k in phi}
+    new, _ = opt.update(phi, grads, opt.init(phi))
+    np.testing.assert_allclose(
+        np.asarray(new["phi_a"])[0], 1.0 - np.array([1e-5, 2e-5, 3e-5]), rtol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(new["phi_inf"]), 1.0)
+
+
 def test_guided_chain_jit_determinism():
     """SURVEY section 5: jit-determinism as the race-detector equivalent —
     identical seeds must produce bit-identical chains across fresh jits."""

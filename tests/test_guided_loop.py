@@ -335,6 +335,51 @@ def test_guided_loop_stochastic_shapes_and_telemetry():
     assert np.isfinite(np.asarray(res.snapshots["x0_hat"])).all()
 
 
+def test_phi_warmup_burst():
+    """phi_warmup_iters (extension, default off): a one-off burst of
+    phi-only iterations at the unfreeze boundary. Off (or absent) must be
+    bit-identical to the baseline graph; on must move phi further at the
+    boundary step and leave every frozen step untouched."""
+    sch = make_schedule("linear", T_STEPS)
+    op = get_operator("underwater_physical_revised", batch_size=1, **OP_KW)
+    rng = np.random.default_rng(7)
+    x0 = rng.standard_normal((1, HW, HW, 4)).astype(np.float32)
+    y = rng.uniform(-1, 1, (1, HW, HW, 3)).astype(np.float32)
+
+    def run(pattern):
+        gcfg = GuidanceConfig.from_config(
+            "osmosis", COND_PARAMS, pattern,
+            {"aux_loss": {"avrg_loss": 0.5, "val_loss": 20.0}},
+        )
+        return guided_sample_loop(
+            _fake_model_jax, sch, jnp.asarray(x0), jnp.asarray(y),
+            jax.random.key(11), op, gcfg, SamplerConfig(clip_denoised=True),
+            sample_pattern=pattern, deterministic=True,
+        )
+
+    base = run(PATTERN)
+    zero = run({**PATTERN, "phi_warmup_iters": 0})
+    warm = run({**PATTERN, "phi_warmup_iters": 40})
+
+    # explicit 0 == absent, bitwise
+    np.testing.assert_array_equal(np.asarray(base.sample), np.asarray(zero.sample))
+    for k in base.phi:
+        np.testing.assert_array_equal(np.asarray(base.phi[k]), np.asarray(zero.phi[k]))
+
+    # the burst fires at the first unfrozen step: phi after that step must
+    # differ from the baseline's, and the chains diverge from there on
+    t_boundary = int(PATTERN["update_start"] * T_STEPS)  # frozen iff t > this
+    row = T_STEPS - 1 - t_boundary
+    pa_base = np.asarray(base.phi_trace["phi_a"])[:, 0, :]
+    pa_warm = np.asarray(warm.phi_trace["phi_a"])[:, 0, :]
+    np.testing.assert_array_equal(pa_base[:row], pa_warm[:row])  # frozen prefix
+    assert np.abs(pa_warm[row] - pa_base[row]).max() > 1e-7
+    # warmup descends the same physics loss -> finite, sane outputs
+    assert np.isfinite(np.asarray(warm.sample)).all()
+    for k in warm.phi:
+        assert np.isfinite(np.asarray(warm.phi[k])).all()
+
+
 def test_guidance_and_freeze_windows():
     """Pattern with start/stop guidance windows exercises the lax.cond
     plain/guided branches; phi must only move inside the update window."""

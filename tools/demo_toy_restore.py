@@ -36,6 +36,12 @@ def main():
     ap.add_argument("--seed", type=int, default=123)
     ap.add_argument("--global-N", type=int, default=1,
                     help="GibbsDDRM full-chain restarts with phi warm-start")
+    ap.add_argument("--global-opt-reset", action="store_true",
+                    help="reset phi optimizer moments between global chains "
+                         "(extension; phi itself still warm-starts)")
+    ap.add_argument("--phi-warmup", type=int, default=0,
+                    help="phi_warmup_iters: extra phi-only iterations at "
+                         "the unfreeze boundary (extension)")
     ap.add_argument("--arch", default="toy", choices=["toy", "production"],
                     help="must match the checkpoint's train_toy_prior.py "
                          "--arch; 'production' = full 6-level plan, "
@@ -90,8 +96,10 @@ def main():
         sample_pattern=dict(
             pattern="pcgs", update_start=0.7, update_end=0,
             global_N=args.global_N,
+            global_opt_reset=bool(args.global_opt_reset),
             local_M=1, s_start=1, s_end=0, n_iter=10,
             start_guidance=1, stop_guidance=0,
+            phi_warmup_iters=args.phi_warmup,
         ),
         unet_model=dict(
             image_size=args.size, num_channels=args.channels,

@@ -57,9 +57,15 @@ def main():
                     help="guidance scale; norm-loss gradients shrink ~1/size "
                          "per pixel, so larger images need a larger scale "
                          "(32px: 2,2,2,1; 64px: ~4,4,4,2)")
-    ap.add_argument("--phi-eta", type=float, default=2e-4,
+    ap.add_argument("--phi-eta", type=str, default="2e-4",
                     help="phi SGD lr; phi gradients GROW ~size under the "
-                         "norm loss, so halve per 2x image size")
+                         "norm loss, so halve per 2x image size. A comma "
+                         "list gives PER-CHANNEL rates (extension)")
+    ap.add_argument("--phi-warmup", type=int, default=0,
+                    help="phi_warmup_iters: extra phi-only descent "
+                         "iterations at the unfreeze boundary (extension "
+                         "beyond the reference; probes the wrong-basin "
+                         "mode, VALIDATION.md 3b)")
     ap.add_argument("--optimizer", default="sgd",
                     choices=["sgd", "gd", "adam", "rmsprop"],
                     help="phi optimizer (the operator config surface); adam's "
@@ -127,6 +133,7 @@ def main():
         pattern="pcgs", update_start=args.update_start, update_end=0,
         global_N=1, local_M=1,
         s_start=1, s_end=0, n_iter=args.n_iter, start_guidance=1, stop_guidance=0,
+        phi_warmup_iters=args.phi_warmup,
     )
     # full production guidance recipe: depth-weighted loss + the aux
     # exposure losses the shipped presets use (they stabilize the
