@@ -622,7 +622,10 @@ def _run_fleet(
                 res = jax.tree_util.tree_map(np.asarray, res)
             phi0s = res.phi
             # global_opt_reset (see the serial path): None re-inits cold
-            opt0s = None if sample_pattern.get("global_opt_reset") else res.opt_state
+            if args.sample_pattern.get("global_opt_reset"):
+                opt0s = None
+            else:
+                opt0s = res.opt_state
 
             with prof.phase("fleet_save"):
                 for j in range(n_real):
