@@ -297,6 +297,12 @@ def run_restoration(
     stop_after = data_config.get("stop_after", -1)
 
     if fleet_size > 1:
+        if int(getattr(args, "best_of", 1) or 1) > 1:
+            logger.log(
+                "WARNING: best_of>1 is a serial-path feature; the fleet "
+                "path runs one chain per image (set data.batch_size: 1 "
+                "for loss-selected restarts)"
+            )
         _run_fleet(
             args, dataset, paths, fleet_run, params, operator, measure_config,
             logger, gt_flag, image_size, fleet_size, stop_after, noiser,
@@ -377,28 +383,50 @@ def run_restoration(
         if getattr(args, "degamma_input", False):
             y = jnp.asarray(TR.degamma(np.asarray(y)))
 
-        # phi and its optimizer state reset at image boundaries, persist
-        # across global iterations (warm start — the point of GibbsDDRM's
-        # outer loop; osmosis_sampling.py:146-163 creates the operator
-        # outside the :191 global loop)
-        phi_carry, opt_carry = phi_cold, opt_cold
-        for global_ii in range(global_N):
-            logger.log(f"global iteration: {global_ii}\n")
-            # seed reset per global iteration (osmosis_sampling.py:194)
-            key = jax.random.key(args.manual_seed)
-            x_start = jax.random.normal(
-                jax.random.fold_in(key, 0), (1, image_size, image_size, 4)
-            )
-            with prof.phase("sample"):
-                res = run_fn(
-                    params, x_start, y, jax.random.fold_in(key, 1),
-                    phi_carry, opt_carry,
+        # best_of>1 (extension; default 1 == reference semantics): rerun the
+        # whole chain from different noise seeds and keep the lowest final
+        # measurement loss. The wrong-basin joint (J, phi) mode announces
+        # itself with a much higher final loss (VALIDATION.md 3b-iii), so
+        # loss-based selection needs no ground truth.
+        best_of = int(getattr(args, "best_of", 1) or 1)
+        best_trial, best_fl = None, None
+        for try_k in range(best_of):
+            # trial 0 uses the reference's exact seed derivation; later
+            # trials offset the seed (7919 = a prime far from small seeds)
+            trial_seed = args.manual_seed + 7919 * try_k
+            # phi and its optimizer state reset at image boundaries, persist
+            # across global iterations (warm start — the point of GibbsDDRM's
+            # outer loop; osmosis_sampling.py:146-163 creates the operator
+            # outside the :191 global loop)
+            phi_carry, opt_carry = phi_cold, opt_cold
+            trial = []
+            for global_ii in range(global_N):
+                logger.log(f"global iteration: {global_ii}\n")
+                # seed reset per global iteration (osmosis_sampling.py:194)
+                key = jax.random.key(trial_seed)
+                x_start = jax.random.normal(
+                    jax.random.fold_in(key, 0), (1, image_size, image_size, 4)
                 )
-            # device arrays thread into the next global iteration without a
-            # host round-trip; the save path fetches its own copy
-            phi_carry = res.phi
-            opt_carry = opt_cold if global_opt_reset else res.opt_state
-            gt = (gt_rgb, gt_depth) if gt_flag else None
+                with prof.phase("sample"):
+                    res = run_fn(
+                        params, x_start, y, jax.random.fold_in(key, 1),
+                        phi_carry, opt_carry,
+                    )
+                # device arrays thread into the next global iteration without
+                # a host round-trip; the save path fetches its own copy
+                phi_carry = res.phi
+                opt_carry = opt_cold if global_opt_reset else res.opt_state
+                trial.append(res)
+            fl = float(np.asarray(trial[-1].sep_loss)[-1].mean())
+            if best_of > 1:
+                logger.log(f"restart {try_k}: final loss {fl:.4f}")
+            if best_fl is None or fl < best_fl:
+                best_trial, best_fl = trial, fl
+        if best_of > 1:
+            logger.log(f"kept restart with final loss {best_fl:.4f}")
+
+        gt = (gt_rgb, gt_depth) if gt_flag else None
+        for global_ii, res in enumerate(best_trial):
             if async_save:
                 pending.append(saver.submit(
                     _finish_image, res, ref_np, ref_img_name, orig_name,

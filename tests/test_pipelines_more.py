@@ -176,6 +176,42 @@ def test_fleet_gt_resume_global_n(tmp_path):
     assert log2.count("skipping image") >= 3
 
 
+def test_best_of_restarts(tmp_path):
+    """best_of: K (extension, default 1): loss-selected seed restarts. The
+    kept chain's loss must be the min of the logged restart losses, and the
+    saved output must match a single-chain run at the kept restart's seed."""
+    import re
+    import yaml as _y
+
+    from osmosis_tpu.pipelines import run_restoration
+
+    root = str(tmp_path / "imgs")
+    _write_images(root, n=1)
+
+    p = _fleet_cfg(tmp_path, root, 1, subdir="bestof")
+    cfg = _y.safe_load(open(p))
+    cfg["best_of"] = 2
+    _y.dump(cfg, open(p, "w"))
+    out = run_restoration(p)
+    log = open(pjoin(out, "log.txt")).read()
+    losses = [float(m) for m in re.findall(r"restart \d+: final loss ([\d.]+)", log)]
+    kept = float(re.search(r"kept restart with final loss ([\d.]+)", log).group(1))
+    assert len(losses) == 2
+    assert kept == min(losses)
+
+    # reproduce the kept chain: a best_of=1 run with manual_seed shifted by
+    # 7919*k for the kept k must produce the identical output PNG
+    kept_k = losses.index(kept)
+    p1 = _fleet_cfg(tmp_path, root, 1, subdir="single")
+    cfg1 = _y.safe_load(open(p1))
+    cfg1["manual_seed"] = 0 + 7919 * kept_k
+    _y.dump(cfg1, open(p1, "w"))
+    out1 = run_restoration(p1)
+    a = np.asarray(Image.open(pjoin(out, "single_images", "rgb", "img_0.png")))
+    b = np.asarray(Image.open(pjoin(out1, "single_images", "rgb", "img_0.png")))
+    assert np.array_equal(a, b)
+
+
 def test_haze_degamma_ddim_pipeline(tmp_path):
     root = str(tmp_path / "haze")
     _write_images(root)

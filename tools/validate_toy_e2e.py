@@ -66,6 +66,19 @@ def main():
                          "iterations at the unfreeze boundary (extension "
                          "beyond the reference; probes the wrong-basin "
                          "mode, VALIDATION.md 3b)")
+    ap.add_argument("--best-of", type=int, default=1,
+                    help="run K chains from different noise seeds and keep "
+                         "the one with the lowest final measurement loss — "
+                         "the wrong-basin mode announces itself with a "
+                         "~1.7x higher final loss, so loss-based selection "
+                         "needs no ground truth (extension)")
+    ap.add_argument("--phi-jitter", type=float, default=0.0,
+                    help="with --best-of: restarts >0 also jitter the phi "
+                         "INIT by N(0, sigma) — diversifies the basin of "
+                         "attraction when every noise seed lands in the "
+                         "same wrong (J, phi) mode")
+    ap.add_argument("--only-scene", type=int, default=None,
+                    help="run a single scene index (basin-mode probing)")
     ap.add_argument("--optimizer", default="sgd",
                     choices=["sgd", "gd", "adam", "rmsprop"],
                     help="phi optimizer (the operator config surface); adam's "
@@ -148,21 +161,24 @@ def main():
     scfg = SamplerConfig(sampler=args.sampler, model_var_type="fixed_small",
                          clip_denoised=True)
 
-    def run_one(params_, x_init, y, key):
+    def run_one(params_, x_init, y, key, phi0):
         def model_fn(x, t):
             return model.apply(params_, x, t)
 
         return guided_sample_loop(
             model_fn, schedule, x_init, y, key, operator, gcfg, scfg,
-            sample_pattern=pattern,
+            sample_pattern=pattern, phi_init=phi0,
         )
 
     run = jax.jit(run_one)
+    phi_cold = {k: jnp.asarray(v) for k, v in operator.phi_init().items()}
 
     rows = []
     strips = []
     key = jax.random.key(args.seed)
     for i in range(args.scenes):
+        if args.only_scene is not None and i != args.only_scene:
+            continue
         kk = jax.random.fold_in(key, i)
         scene = synth_scene_batch(jax.random.fold_in(kk, 0), 1, args.size)
         J_true01 = 0.5 * (np.asarray(scene[..., :3])[0] + 1.0)
@@ -170,8 +186,28 @@ def main():
 
         y01 = operator.forward(phi_true, scene)  # degraded, [0,1]
         y = 2.0 * y01 - 1.0
-        x_init = jax.random.normal(jax.random.fold_in(kk, 1), scene.shape)
-        res = run(params, x_init, y, jax.random.fold_in(kk, 2))
+        best_loss, res, chosen = None, None, 0
+        for k_try in range(max(args.best_of, 1)):
+            k_base = jax.random.fold_in(kk, 1000 * k_try) if k_try else kk
+            x_init = jax.random.normal(jax.random.fold_in(k_base, 1), scene.shape)
+            phi0 = phi_cold
+            if k_try and args.phi_jitter > 0:
+                jkey = jax.random.fold_in(k_base, 3)
+                phi0 = {
+                    k: v + args.phi_jitter * jax.random.normal(
+                        jax.random.fold_in(jkey, hash(k) % 1000), v.shape)
+                    for k, v in phi_cold.items()
+                }
+            r = run(params, x_init, y, jax.random.fold_in(k_base, 2), phi0)
+            fl = float(np.asarray(r.sep_loss)[-1].mean())
+            if args.best_of > 1:
+                print(f"scene {i}: try {k_try} final loss {fl:.3f}",
+                      file=sys.stderr)
+            if best_loss is None or fl < best_loss:
+                best_loss, res, chosen = fl, r, k_try
+        if args.best_of > 1:
+            print(f"scene {i}: best-of-{args.best_of} kept try {chosen} "
+                  f"(final loss {best_loss:.3f})", file=sys.stderr)
 
         x0 = np.asarray(res.pred_xstart)[0]
         J_rest01 = np.clip(0.5 * (x0[..., :3] + 1.0), 0, 1)
@@ -185,12 +221,15 @@ def main():
             np.abs(phi[k] - np.asarray(phi_true[k])[0]).mean()
             for k in phi_true
         ]))
+        final_loss = float(np.asarray(res.sep_loss)[-1].mean())
         rows.append(dict(scene=i, psnr_degraded=round(p_in, 2),
                          psnr_restored=round(p_out, 2),
                          depth_corr=round(corr, 3),
-                         phi_mae=round(phi_err, 4)))
+                         phi_mae=round(phi_err, 4),
+                         final_loss=round(final_loss, 3)))
         print(f"scene {i}: degraded {p_in:.2f} dB -> restored {p_out:.2f} dB, "
-              f"depth corr {corr:.3f}, phi MAE {phi_err:.4f}", file=sys.stderr)
+              f"depth corr {corr:.3f}, phi MAE {phi_err:.4f}, "
+              f"final loss {final_loss:.3f}", file=sys.stderr)
         if args.save_png:
             strips.append((J_true01, np.clip(np.asarray(y01)[0], 0, 1), J_rest01,
                            z_true, z_rest))
