@@ -387,18 +387,34 @@ def run_restoration(
         # whole chain from different noise seeds and keep the lowest final
         # measurement loss. The wrong-basin joint (J, phi) mode announces
         # itself with a much higher final loss (VALIDATION.md 3b-iii), so
-        # loss-based selection needs no ground truth.
+        # loss-based selection needs no ground truth. Companion knobs:
+        #   accept_loss: X — stop restarting once a trial's final loss is
+        #     <= X (good chains accept on trial 0, so the adaptive cost is
+        #     ~1 chain/image; only basin-stuck images escalate);
+        #   phi_jitter: sigma — trials >0 jitter the phi INIT by N(0, s^2),
+        #     diversifying the basin of attraction when every noise seed
+        #     falls into the same wrong (J, phi) mode.
         best_of = int(getattr(args, "best_of", 1) or 1)
+        accept_loss = getattr(args, "accept_loss", None)
+        phi_jitter = float(getattr(args, "phi_jitter", 0.0) or 0.0)
         best_trial, best_fl = None, None
         for try_k in range(best_of):
             # trial 0 uses the reference's exact seed derivation; later
             # trials offset the seed (7919 = a prime far from small seeds)
             trial_seed = args.manual_seed + 7919 * try_k
+            phi_try = phi_cold
+            if try_k and phi_jitter > 0:
+                jkey = jax.random.fold_in(jax.random.key(trial_seed), 2)
+                phi_try = {
+                    k: v + phi_jitter * jax.random.normal(
+                        jax.random.fold_in(jkey, n), v.shape)
+                    for n, (k, v) in enumerate(sorted(phi_cold.items()))
+                }
             # phi and its optimizer state reset at image boundaries, persist
             # across global iterations (warm start — the point of GibbsDDRM's
             # outer loop; osmosis_sampling.py:146-163 creates the operator
             # outside the :191 global loop)
-            phi_carry, opt_carry = phi_cold, opt_cold
+            phi_carry, opt_carry = phi_try, opt_cold
             trial = []
             for global_ii in range(global_N):
                 logger.log(f"global iteration: {global_ii}\n")
@@ -422,6 +438,8 @@ def run_restoration(
                 logger.log(f"restart {try_k}: final loss {fl:.4f}")
             if best_fl is None or fl < best_fl:
                 best_trial, best_fl = trial, fl
+            if accept_loss is not None and best_fl <= float(accept_loss):
+                break
         if best_of > 1:
             logger.log(f"kept restart with final loss {best_fl:.4f}")
 

@@ -212,6 +212,46 @@ def test_best_of_restarts(tmp_path):
     assert np.array_equal(a, b)
 
 
+def test_best_of_accept_loss_and_jitter(tmp_path):
+    """accept_loss stops restarting once satisfied (trial 0 accepts at a
+    huge threshold); phi_jitter>0 makes trial-1 chains differ from the
+    unjittered restart."""
+    import re
+    import yaml as _y
+
+    from osmosis_tpu.pipelines import run_restoration
+
+    root = str(tmp_path / "imgs")
+    _write_images(root, n=1)
+
+    # accept on trial 0 -> exactly one restart logged
+    p = _fleet_cfg(tmp_path, root, 1, subdir="accept")
+    cfg = _y.safe_load(open(p))
+    cfg["best_of"] = 3
+    cfg["accept_loss"] = 1e9
+    _y.dump(cfg, open(p, "w"))
+    out = run_restoration(p)
+    log = open(pjoin(out, "log.txt")).read()
+    assert len(re.findall(r"restart \d+: final loss", log)) == 1
+
+    # jittered restarts: trial 1 phi must differ from the unjittered trial 1
+    def final_phi(subdir, jitter):
+        p2 = _fleet_cfg(tmp_path, root, 1, subdir=subdir)
+        c2 = _y.safe_load(open(p2))
+        c2["best_of"] = 2
+        c2["phi_jitter"] = jitter
+        _y.dump(c2, open(p2, "w"))
+        o = run_restoration(p2)
+        lg = open(pjoin(o, "log.txt")).read()
+        return re.findall(r"restart \d+: final loss ([\d.eE+-]+)", lg)
+
+    a = final_phi("nojit", 0.0)
+    b = final_phi("jit", 0.2)
+    assert len(a) == 2 and len(b) == 2
+    assert a[0] == b[0], "trial 0 must be jitter-free"
+    assert a[1] != b[1], "phi_jitter had no effect on trial 1"
+
+
 def test_haze_degamma_ddim_pipeline(tmp_path):
     root = str(tmp_path / "haze")
     _write_images(root)

@@ -79,6 +79,10 @@ def main():
                          "same wrong (J, phi) mode")
     ap.add_argument("--only-scene", type=int, default=None,
                     help="run a single scene index (basin-mode probing)")
+    ap.add_argument("--accept-loss", type=float, default=None,
+                    help="with --best-of: stop restarting once a trial's "
+                         "final loss is <= this (adaptive escalation — "
+                         "healthy chains accept on trial 0)")
     ap.add_argument("--optimizer", default="sgd",
                     choices=["sgd", "gd", "adam", "rmsprop"],
                     help="phi optimizer (the operator config surface); adam's "
@@ -195,8 +199,8 @@ def main():
                 jkey = jax.random.fold_in(k_base, 3)
                 phi0 = {
                     k: v + args.phi_jitter * jax.random.normal(
-                        jax.random.fold_in(jkey, hash(k) % 1000), v.shape)
-                    for k, v in phi_cold.items()
+                        jax.random.fold_in(jkey, n), v.shape)
+                    for n, (k, v) in enumerate(sorted(phi_cold.items()))
                 }
             r = run(params, x_init, y, jax.random.fold_in(k_base, 2), phi0)
             fl = float(np.asarray(r.sep_loss)[-1].mean())
@@ -205,6 +209,8 @@ def main():
                       file=sys.stderr)
             if best_loss is None or fl < best_loss:
                 best_loss, res, chosen = fl, r, k_try
+            if args.accept_loss is not None and best_loss <= args.accept_loss:
+                break
         if args.best_of > 1:
             print(f"scene {i}: best-of-{args.best_of} kept try {chosen} "
                   f"(final loss {best_loss:.3f})", file=sys.stderr)
