@@ -34,7 +34,7 @@ import numpy as np
 from ..config import parse_gradient_clip, parse_scale, parse_weight_function
 from ..guidance.losses import make_aux_loss_fn
 from ..guidance.operators import Operator, convert_depth
-from ..guidance.phi_optim import make_phi_optimizer
+from ..guidance.phi_optim import PhiOptimizer, make_phi_optimizer
 from ..guidance.schedule_masks import pattern_masks
 from .sampler import (
     ModelFn,
@@ -180,6 +180,7 @@ def guided_sample_loop(
     progress_every: Optional[int] = None,
     phi_init: Optional[Dict[str, jax.Array]] = None,
     opt_state_init: Optional[dict] = None,
+    eta_scale: Optional[jax.Array] = None,
 ) -> GuidedResult:
     """Run the full guided reverse process. All arrays NHWC.
 
@@ -191,6 +192,11 @@ def guided_sample_loop(
     keeps the operator (and thus its optimized phi) alive across global
     iterations (osmosis_sampling.py:146-163 outside the :191 loop). When
     omitted, phi starts from the operator's configured inits.
+
+    ``eta_scale`` (extension, default None == exact reference semantics):
+    runtime scalar multiplied into every phi optimizer step — the
+    ``global_eta_scale`` knob for damping phi drift in warm-started
+    global_N>1 chains.
     """
     if progress_every:
         # the axon PJRT relay has no host send/recv support — degrade to
@@ -234,6 +240,24 @@ def guided_sample_loop(
     else:
         phi0 = {k: jnp.asarray(v) for k, v in operator.phi_init().items()}
     opt = make_phi_optimizer(operator.optimizer, operator.etas())
+    if eta_scale is not None:
+        # global_eta_scale (extension; see restore.py): scale every phi step
+        # by a RUNTIME scalar — exactly equivalent to multiplying each eta by
+        # it, for all three optimizer families (eta enters the phi step
+        # linearly and the state evolution (m/v/sq/count) is eta-independent,
+        # phi_optim.py). A traced argument, so global_N>1 chains with
+        # different scales share one compiled executable.
+        _s = jnp.asarray(eta_scale, jnp.float32)
+        _base_update = opt.update
+
+        def _scaled_update(phi_, g_, st_):
+            new_, st2_ = _base_update(phi_, g_, st_)
+            return (
+                jax.tree_util.tree_map(lambda p, n: p + _s * (n - p), phi_, new_),
+                st2_,
+            )
+
+        opt = PhiOptimizer(opt.init, _scaled_update)
     if opt_state_init is not None:
         opt_state0 = jax.tree_util.tree_map(jnp.asarray, opt_state_init)
     else:

@@ -40,25 +40,26 @@ def make_batched_guided_runner(
     axis; each element is bit-identical in semantics to an independent
     batch-1 guided run."""
 
-    def one(params, x, y, key, phi0, opt0):
+    def one(params, x, y, key, phi0, opt0, eta_s):
         def model_fn(xx, tt):
             return model_apply(params, xx, tt)
 
         return guided_sample_loop(
             model_fn, schedule, x[None], y[None], key, operator, gcfg, scfg,
             sample_pattern=sample_pattern, record_every=record_every,
-            phi_init=phi0, opt_state_init=opt0,
+            phi_init=phi0, opt_state_init=opt0, eta_scale=eta_s,
         )
 
-    batched = jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0))
+    # eta_s is a scalar shared by every image (global_eta_scale knob)
+    batched = jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0, None))
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        def _sharded(params, xs, ys, keys, phi0s, opt0s):
+        def _sharded(params, xs, ys, keys, phi0s, opt0s, eta_s):
             xs = jax.lax.with_sharding_constraint(xs, NamedSharding(mesh, P("dp")))
             ys = jax.lax.with_sharding_constraint(ys, NamedSharding(mesh, P("dp")))
-            return batched(params, xs, ys, keys, phi0s, opt0s)
+            return batched(params, xs, ys, keys, phi0s, opt0s, eta_s)
 
         jitted = jax.jit(_sharded)
     else:
@@ -66,7 +67,7 @@ def make_batched_guided_runner(
 
     from ..guidance.phi_optim import make_phi_optimizer
 
-    def run(params, xs, ys, keys, phi0s=None, opt0s=None):
+    def run(params, xs, ys, keys, phi0s=None, opt0s=None, eta_scale=None):
         n = xs.shape[0]
         if phi0s is None:
             phi1 = {k: jnp.asarray(v) for k, v in operator.phi_init().items()}
@@ -81,6 +82,6 @@ def make_batched_guided_runner(
             opt0s = jax.tree_util.tree_map(
                 lambda a: jnp.broadcast_to(a, (n,) + a.shape), opt1
             )
-        return jitted(params, xs, ys, keys, phi0s, opt0s)
+        return jitted(params, xs, ys, keys, phi0s, opt0s, eta_scale)
 
     return run

@@ -247,7 +247,7 @@ def run_restoration(
 
     record_every = args.record_every if args.record_process else None
 
-    def _run(params_, x_init, y, key, phi0, opt0):
+    def _run(params_, x_init, y, key, phi0, opt0, eta_s):
         def model_fn(x, t):
             return model.apply(params_, x, t)
 
@@ -255,7 +255,7 @@ def run_restoration(
             model_fn, schedule, x_init, y, key, operator, gcfg, scfg,
             sample_pattern=sample_pattern, record_every=record_every,
             progress_every=progress_every,
-            phi_init=phi0, opt_state_init=opt0,
+            phi_init=phi0, opt_state_init=opt0, eta_scale=eta_s,
         )
 
     run_fn = jax.jit(_run)
@@ -293,6 +293,13 @@ def run_restoration(
     # replays the schedule from pure noise (VALIDATION.md 3c measured the
     # carried-moments variant worse at toy scale).
     global_opt_reset = bool(sample_pattern.get("global_opt_reset", False))
+    # extension (default 1.0 == reference parity): geometric phi-eta decay
+    # across global chains — chain ii runs with etas * scale**ii. A
+    # warm-started phi only needs small corrections; full-strength updates
+    # against the early chain's noisy x0-hats drag it off its converged
+    # value (VALIDATION.md 3c). Passed as a TRACED scalar so all chains
+    # share one executable.
+    global_eta_scale = float(sample_pattern.get("global_eta_scale", 1.0) or 1.0)
 
     stop_after = data_config.get("stop_after", -1)
 
@@ -423,10 +430,14 @@ def run_restoration(
                 x_start = jax.random.normal(
                     jax.random.fold_in(key, 0), (1, image_size, image_size, 4)
                 )
+                eta_s = (
+                    None if global_eta_scale == 1.0
+                    else jnp.float32(global_eta_scale ** global_ii)
+                )
                 with prof.phase("sample"):
                     res = run_fn(
                         params, x_start, y, jax.random.fold_in(key, 1),
-                        phi_carry, opt_carry,
+                        phi_carry, opt_carry, eta_s,
                     )
                 # device arrays thread into the next global iteration without
                 # a host round-trip; the save path fetches its own copy
@@ -660,11 +671,13 @@ def _run_fleet(
         keys = jnp.broadcast_to(run_key, (n_real,) + run_key.shape)
 
         phi0s = opt0s = None  # cold start on the first global iteration
+        g_eta = float(args.sample_pattern.get("global_eta_scale", 1.0) or 1.0)
         for global_ii in range(global_N):
             if global_N > 1:
                 logger.log(f"global iteration: {global_ii}\n")
+            eta_s = None if g_eta == 1.0 else jnp.float32(g_eta ** global_ii)
             with prof.phase("fleet_sample"):
-                res = fleet_run(params, xs, ys, keys, phi0s, opt0s)
+                res = fleet_run(params, xs, ys, keys, phi0s, opt0s, eta_s)
                 res = jax.tree_util.tree_map(np.asarray, res)
             phi0s = res.phi
             # global_opt_reset (see the serial path): None re-inits cold

@@ -254,3 +254,67 @@ def test_guided_chain_jit_determinism():
         ).sample)
         outs.append(np.asarray(fn(None, x0, y, jax.random.key(2))))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_eta_scale_matches_scaled_etas():
+    """global_eta_scale semantics (guided.py eta_scale): running a chain with
+    eta_scale=s must match a chain whose operator etas are multiplied by s
+    (eta enters every phi step linearly; state evolution is eta-independent),
+    and eta_scale=0.0 must freeze phi EXACTLY at its init."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from osmosis_tpu.diffusion import make_schedule
+    from osmosis_tpu.diffusion.guided import GuidanceConfig, guided_sample_loop
+    from osmosis_tpu.diffusion.sampler import SamplerConfig
+    from osmosis_tpu.guidance.operators import get_operator
+
+    sch = make_schedule("cosine", 8)
+    pattern = dict(pattern="pcgs", update_start=0.7, update_end=0, global_N=1,
+                   local_M=1, s_start=1, s_end=0, n_iter=3, start_guidance=1,
+                   stop_guidance=0)
+    gparams = dict(loss_function="norm", loss_weight="depth",
+                   weight_function="gamma,1.4,1.4,1", scale="7,7,7,0.9",
+                   gradient_x_prev=True, gradient_clip="True,0.005")
+
+    def model(x, t):
+        tb = t.astype(jnp.float32).reshape(-1, 1, 1, 1)
+        return jnp.concatenate([0.3 * x + 0.001 * tb, 0.1 * x], axis=-1)
+
+    x0 = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+    y = jax.random.uniform(jax.random.key(1), (1, 8, 8, 3), minval=-1.0)
+
+    def run(optimizer, eta_mult, eta_scale):
+        op = get_operator(
+            "underwater_physical_revised", batch_size=1, optimizer=optimizer,
+            depth_type="gamma", value="1.4,1.4,1",
+            phi_a="1.1,0.95,0.95", phi_b="0.95,0.8,0.8",
+            phi_inf="0.14,0.29,0.49",
+            phi_a_eta=1e-3 * eta_mult, phi_b_eta=1e-3 * eta_mult,
+            phi_inf_eta=1e-3 * eta_mult,
+        )
+        gcfg = GuidanceConfig.from_config("osmosis", gparams, pattern, None)
+        res = guided_sample_loop(
+            model, sch, x0, y, jax.random.key(2), op, gcfg,
+            SamplerConfig(clip_denoised=True), sample_pattern=pattern,
+            eta_scale=eta_scale,
+        )
+        return res
+
+    for optimizer in ("sgd", "adam"):
+        ref = run(optimizer, eta_mult=0.5, eta_scale=None)
+        scaled = run(optimizer, eta_mult=1.0, eta_scale=jnp.float32(0.5))
+        for k in ref.phi:
+            np.testing.assert_allclose(
+                np.asarray(scaled.phi[k]), np.asarray(ref.phi[k]),
+                rtol=2e-4, atol=2e-6, err_msg=f"{optimizer}:{k}",
+            )
+
+    # eta_scale=0.0: p + 0*(n-p) == p bitwise -> phi never moves
+    frozen = run("sgd", eta_mult=1.0, eta_scale=jnp.float32(0.0))
+    init = {"phi_a": [1.1, 0.95, 0.95], "phi_b": [0.95, 0.8, 0.8],
+            "phi_inf": [0.14, 0.29, 0.49]}
+    for k, v in init.items():
+        np.testing.assert_array_equal(
+            np.asarray(frozen.phi[k])[0], np.asarray(v, dtype=np.float32))

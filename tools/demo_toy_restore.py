@@ -39,9 +39,24 @@ def main():
     ap.add_argument("--global-opt-reset", action="store_true",
                     help="reset phi optimizer moments between global chains "
                          "(extension; phi itself still warm-starts)")
+    ap.add_argument("--global-eta-scale", type=float, default=1.0,
+                    help="geometric phi-eta decay across global chains: "
+                         "chain ii runs with etas * scale**ii (extension)")
     ap.add_argument("--phi-warmup", type=int, default=0,
                     help="phi_warmup_iters: extra phi-only iterations at "
                          "the unfreeze boundary (extension)")
+    ap.add_argument("--best-of", type=int, default=1,
+                    help="loss-selected noise-seed restarts (VALIDATION 3b-iii)")
+    ap.add_argument("--phi-jitter", type=float, default=0.0,
+                    help="phi-init jitter sigma for restart trials > 0")
+    ap.add_argument("--accept-loss", type=float, default=None,
+                    help="stop restarting once a trial's final loss is <= X")
+    ap.add_argument("--oracle-phi", action="store_true",
+                    help="diagnostic: init phi at the TRUE water parameters "
+                         "and freeze it (learn flags off) — the oracle ceiling")
+    ap.add_argument("--oracle-learn", action="store_true",
+                    help="with --oracle-phi: keep the learn flags ON (descent "
+                         "FROM the true phi — the good-basin warm-start control)")
     ap.add_argument("--arch", default="toy", choices=["toy", "production"],
                     help="must match the checkpoint's train_toy_prior.py "
                          "--arch; 'production' = full 6-level plan, "
@@ -87,8 +102,22 @@ def main():
         Image.fromarray((depth01 * 65535).astype(np.uint16)).save(
             os.path.join(wd, "gt_depth", f"scene_{i}.png"))
 
+    # --oracle-phi: init at the exact degradation parameters, frozen
+    if args.oracle_phi:
+        op_init = dict(
+            phi_a="0.55,0.45,0.35", phi_b="0.5,0.4,0.35",
+            phi_inf="0.18,0.32,0.45", learn=bool(args.oracle_learn),
+        )
+    else:
+        op_init = dict(
+            phi_a="0.7,0.6,0.5", phi_b="0.6,0.5,0.45",
+            phi_inf="0.14,0.29,0.49", learn=True,
+        )
+
     cfg = dict(
         save_dir=os.path.join(wd, "results"),
+        best_of=args.best_of, phi_jitter=args.phi_jitter,
+        accept_loss=args.accept_loss,
         degamma_input=False, manual_seed=args.seed, rgb_guidance=False,
         save_singles=True, save_grids=True,
         record_process=False, record_every=200,
@@ -97,6 +126,7 @@ def main():
             pattern="pcgs", update_start=0.7, update_end=0,
             global_N=args.global_N,
             global_opt_reset=bool(args.global_opt_reset),
+            global_eta_scale=args.global_eta_scale,
             local_M=1, s_start=1, s_end=0, n_iter=10,
             start_guidance=1, stop_guidance=0,
             phi_warmup_iters=args.phi_warmup,
@@ -147,10 +177,12 @@ def main():
             operator=dict(
                 name="underwater_physical_revised", optimizer="adam",
                 depth_type="gamma", value="1.4,1.4,1",
-                phi_a="0.7,0.6,0.5", phi_a_eta=1e-3, phi_a_learn_flag=True,
-                phi_b="0.6,0.5,0.45", phi_b_eta=1e-3, phi_b_learn_flag=True,
-                phi_inf="0.14,0.29,0.49", phi_inf_eta=1e-3,
-                phi_inf_learn_flag=True,
+                phi_a=op_init["phi_a"], phi_a_eta=1e-3,
+                phi_a_learn_flag=op_init["learn"],
+                phi_b=op_init["phi_b"], phi_b_eta=1e-3,
+                phi_b_learn_flag=op_init["learn"],
+                phi_inf=op_init["phi_inf"], phi_inf_eta=1e-3,
+                phi_inf_learn_flag=op_init["learn"],
             ),
             noise=dict(name="clean"),
         ),
