@@ -37,8 +37,12 @@ class PerfConfig:
     strip_bwd: str = "rot"        # OSMOSIS_TPU_STRIP_BWD: rot|flat|raw
     # fused GroupNorm(+FiLM)+SiLU custom VJPs (models/nn.py)
     fused_norm_silu: bool = True  # OSMOSIS_TPU_FUSED_NORM_SILU
-    # guided-scan body unroll factor (diffusion/guided.py)
-    scan_unroll: int = 1          # OSMOSIS_TPU_SCAN_UNROLL
+    # guided-scan body unroll factor (diffusion/guided.py). 2 measured
+    # +0.8% steps/s on 200-step production scans (consistent across 6
+    # runs, PERF.md round 5); the halved scan-iteration overhead beats
+    # the doubled body. Cold compile ~2.8 min vs ~30 s at unroll 1
+    # (once per config; the persistent cache covers warm starts).
+    scan_unroll: int = 2          # OSMOSIS_TPU_SCAN_UNROLL
     # overlap host postprocessing with the next chain (pipelines/restore.py)
     async_save: bool = False      # OSMOSIS_TPU_ASYNC_SAVE
     # negative-result record: Pallas nearest-2x upsample (models/nn.py)

@@ -299,7 +299,8 @@ def run_restoration(
     # against the early chain's noisy x0-hats drag it off its converged
     # value (VALIDATION.md 3c). Passed as a TRACED scalar so all chains
     # share one executable.
-    global_eta_scale = float(sample_pattern.get("global_eta_scale", 1.0) or 1.0)
+    _ges = sample_pattern.get("global_eta_scale")  # 0.0 is legal (freeze)
+    global_eta_scale = 1.0 if _ges is None else float(_ges)
 
     stop_after = data_config.get("stop_after", -1)
 
@@ -671,7 +672,8 @@ def _run_fleet(
         keys = jnp.broadcast_to(run_key, (n_real,) + run_key.shape)
 
         phi0s = opt0s = None  # cold start on the first global iteration
-        g_eta = float(args.sample_pattern.get("global_eta_scale", 1.0) or 1.0)
+        _ges = args.sample_pattern.get("global_eta_scale")  # 0.0 legal
+        g_eta = 1.0 if _ges is None else float(_ges)
         for global_ii in range(global_N):
             if global_N > 1:
                 logger.log(f"global iteration: {global_ii}\n")

@@ -83,7 +83,8 @@ def test_simulation_gt_pipeline(tmp_path):
 
 
 def _fleet_cfg(tmp_path, root, batch_size, *, noise=None, gt=None, global_N=1,
-               resume=False, subdir="results"):
+               resume=False, subdir="results", pattern_extra=None,
+               optimizer=("sgd", 1e-5)):
     data = dict(batch_size=batch_size, name="fleetpar", root=root,
                 stop_after=-1, ground_truth=gt is not None)
     if gt is not None:
@@ -94,7 +95,7 @@ def _fleet_cfg(tmp_path, root, batch_size, *, noise=None, gt=None, global_N=1,
         save_singles=True, save_grids=gt is not None,
         record_process=False, record_every=20,
         resume=resume,
-        sample_pattern=dict(PATTERN, global_N=global_N),
+        sample_pattern=dict(PATTERN, global_N=global_N, **(pattern_extra or {})),
         unet_model=TINY_UNET, diffusion=DIFFUSION,
         conditioning=dict(
             method="osmosis",
@@ -108,11 +109,14 @@ def _fleet_cfg(tmp_path, root, batch_size, *, noise=None, gt=None, global_N=1,
         data=data,
         measurement=dict(
             operator=dict(
-                name="underwater_physical_revised", optimizer="sgd",
+                name="underwater_physical_revised", optimizer=optimizer[0],
                 depth_type="gamma", value="1.4,1.4,1",
-                phi_a="1.1,0.95,0.95", phi_a_eta=1e-5, phi_a_learn_flag=True,
-                phi_b="0.95, 0.8, 0.8", phi_b_eta=1e-5, phi_b_learn_flag=True,
-                phi_inf="0.14, 0.29, 0.49", phi_inf_eta=1e-5, phi_inf_learn_flag=True,
+                phi_a="1.1,0.95,0.95", phi_a_eta=optimizer[1],
+                phi_a_learn_flag=True,
+                phi_b="0.95, 0.8, 0.8", phi_b_eta=optimizer[1],
+                phi_b_learn_flag=True,
+                phi_inf="0.14, 0.29, 0.49", phi_inf_eta=optimizer[1],
+                phi_inf_learn_flag=True,
             ),
             noise=noise or dict(name="clean"),
         ),
@@ -294,3 +298,47 @@ def test_haze_degamma_ddim_pipeline(tmp_path):
     assert os.path.exists(pjoin(out, "single_images", "rgb", "img_0.png"))
     log = open(pjoin(out, "log.txt")).read()
     assert "phi_ab" in log and "phi_inf" in log
+
+
+def test_global_eta_scale_pipeline(tmp_path):
+    """sample_pattern.global_eta_scale (extension): chain ii runs with phi
+    etas * scale**ii as a TRACED scalar. At scale=0.0 chain 2's phi must
+    equal chain 1's final phi bitwise (frozen donor); at the default the
+    warm chain keeps moving. Locks both the serial and fleet wiring."""
+    from osmosis_tpu.pipelines import run_restoration
+
+    root = str(tmp_path / "in")
+    _write_images(root, n=2)
+
+    def phi_lines(out):
+        # one "phi_a: [..]" results line per (image, global iteration)
+        log = open(pjoin(out, "log.txt")).read()
+        return [ln for ln in log.splitlines()
+                if ln.startswith("phi_a: [") and "lr:" not in ln]
+
+    # serial path (batch 1), frozen chain 2
+    cfg = _fleet_cfg(tmp_path, root, 1, global_N=2, subdir="etaser",
+                     pattern_extra=dict(global_eta_scale=0.0),
+                     optimizer=("adam", 1e-3))
+    out = run_restoration(cfg)
+    lines = phi_lines(out)
+    assert len(lines) == 4  # 2 images x 2 global iterations
+    assert lines[0] == lines[1] and lines[2] == lines[3]
+
+    # fleet path (batch 2), frozen chain 2
+    cfg = _fleet_cfg(tmp_path, root, 2, global_N=2, subdir="etaflt",
+                     pattern_extra=dict(global_eta_scale=0.0),
+                     optimizer=("adam", 1e-3))
+    out = run_restoration(cfg)
+    lines = phi_lines(out)
+    assert len(lines) == 4
+    # fleet logs per global iteration: [img0_g0, img1_g0, img0_g1, img1_g1]
+    assert sorted(lines[:2]) == sorted(lines[2:])
+
+    # control: default scale, warm chain 2 must keep moving
+    cfg = _fleet_cfg(tmp_path, root, 1, global_N=2, subdir="etactl",
+                     optimizer=("adam", 1e-3))
+    out = run_restoration(cfg)
+    lines = phi_lines(out)
+    assert len(lines) == 4
+    assert lines[0] != lines[1]
