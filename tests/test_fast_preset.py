@@ -114,3 +114,25 @@ def test_phi_recovery_on_respaced_chain():
     np.testing.assert_allclose(
         np.asarray(res.pred_xstart), np.asarray(x0_true), atol=1e-2
     )
+
+
+def test_turbo_preset_parses_and_respaces():
+    """configs/osmosis_sample_turbo_config.yaml: the ddim100 latency preset
+    (3.9 s/image measured, PERF.md round 5) with 10x-compensated phi etas."""
+    cfg = os.path.join(os.path.dirname(__file__), "..", "configs",
+                       "osmosis_sample_turbo_config.yaml")
+    args = C.arguments_from_file(cfg)
+    d = args.diffusion
+    assert d["timestep_respacing"] == "ddim100"
+    sch = make_schedule(
+        noise_schedule=d["noise_schedule"], steps=d["steps"],
+        timestep_respacing=d["timestep_respacing"],
+        rescale_timesteps=d["rescale_timesteps"],
+    )
+    assert sch.num_timesteps == 100
+    mt = np.asarray(sch.device_constants()["model_timesteps"])
+    assert mt.shape == (100,) and mt[0] == 0 and np.all(np.diff(mt) > 0)
+    op = args.measurement["operator"]
+    for k in ("phi_a_eta", "phi_b_eta", "phi_inf_eta"):
+        assert float(op[k]) == 1.0e-4  # 10x the 1000-step preset
+    assert args.unet_model["use_fp16"] is True
