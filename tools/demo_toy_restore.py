@@ -3,13 +3,23 @@
 
 tools/validate_toy_e2e.py measures restoration through the library API;
 this script proves the SHIPPED pipeline does it end to end: it synthesizes
-held-out RGBD scenes, degrades them through the underwater physical model
-with known water parameters, writes real PNG datasets (input + gt_rgb +
-uint16 gt_depth — the simulation-preset layout, data.py:73-109 semantics),
-writes a config using only the public YAML surface (msgpack checkpoint,
-adam phi optimizer, fixed_small variance for the untrained variance head),
-runs `run_restoration` — the same entry `osmosis_sampling.py` calls — and
-scores the run-dir outputs with tools/evaluate.py's PSNR/SSIM.
+held-out RGBD scenes, degrades them through a physical formation model
+with known parameters (tools/simulate_degraded.py — the in-tree simulation
+protocol), writes real PNG datasets (input + gt_rgb + uint16 gt_depth —
+the simulation-preset layout, data.py:73-109 semantics), writes a config
+using only the public YAML surface (msgpack checkpoint, adam phi
+optimizer, fixed_small variance for the untrained variance head), runs
+`run_restoration` — the same entry `osmosis_sampling.py` calls — and
+scores the run-dir outputs with tools/evaluate.py's PSNR/SSIM plus the
+depth correlation of the recovered depth channel.
+
+`--operator` selects the guidance surface, covering every shipped preset
+family (VALIDATION.md 3c/3d):
+  underwater_physical_revised  the primary preset (3-phi model)
+  underwater_physical          the simulation preset's shared-phi model
+  haze_physical                the haze preset (scalar phi_ab)
+  rgb_guidance                 the 'ps' DPS path: clean-RGB guidance,
+                               depth comes free from the prior
 
     python tools/train_toy_prior.py --size 64 --channels 96 \
         --out checkpoints/toy_prior64.msgpack          # once, ~20 min
@@ -25,15 +35,62 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+# TRUE degradation parameters and (offset) preset-style inits per operator.
+# True values come from tools/simulate_degraded.DEFAULT_PHI; inits are
+# offset by the same margins the revised-underwater toy protocol uses
+# (VALIDATION.md §3) so the recovered-phi task is comparable across models.
+OP_SETUPS = {
+    "underwater_physical_revised": dict(
+        init={"phi_a": "0.7,0.6,0.5", "phi_b": "0.6,0.5,0.45",
+              "phi_inf": "0.14,0.29,0.49"},
+    ),
+    "underwater_physical": dict(
+        init={"phi_ab": "0.65,0.55,0.5", "phi_inf": "0.14,0.29,0.49"},
+    ),
+    "haze_physical": dict(
+        init={"phi_ab": "1.0", "phi_inf": "0.5,0.55,0.6"},
+    ),
+}
+
+
+def depth_corr_dirs(depth_dir: str, gt_depth_dir: str, size: int):
+    """Mean Pearson correlation between run-dir depth_raw PNGs and GT
+    depth PNGs (min-max normalization is monotonic, so the correlation
+    sign/magnitude is meaningful)."""
+    from PIL import Image
+
+    from osmosis_tpu.data.datasets import natsorted
+
+    names = natsorted(os.listdir(depth_dir))
+    gts = natsorted(os.listdir(gt_depth_dir))
+    corrs = []
+    for n, g in zip(names, gts):
+        d = np.asarray(Image.open(os.path.join(depth_dir, n)), np.float32)
+        if d.ndim == 3:
+            d = d[..., 0]
+        t = np.asarray(
+            Image.open(os.path.join(gt_depth_dir, g)).resize((size, size)),
+            np.float32,
+        )
+        if t.ndim == 3:
+            t = t[..., 0]
+        corrs.append(float(np.corrcoef(d.ravel(), t.ravel())[0, 1]))
+    return float(np.mean(corrs)), sum(1 for c in corrs if c > 0), corrs
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default="checkpoints/toy_prior64.msgpack")
+    ap.add_argument("--operator", default="underwater_physical_revised",
+                    choices=sorted(OP_SETUPS) + ["rgb_guidance"])
     ap.add_argument("--scenes", type=int, default=4)
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--channels", type=int, default=96)
     ap.add_argument("--workdir", default="/tmp/osmosis_toy_demo")
     ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--scale", default=None,
+                    help="guidance scale override (default 4,4,4,2 physics / "
+                         "3,3,3,0.1 rgb_guidance)")
     ap.add_argument("--global-N", type=int, default=1,
                     help="GibbsDDRM full-chain restarts with phi warm-start")
     ap.add_argument("--global-opt-reset", action="store_true",
@@ -64,61 +121,73 @@ def main():
                          "public YAML surface)")
     args = ap.parse_args()
 
-    import jax
-    import jax.numpy as jnp
     import yaml
-    from PIL import Image
 
-    from osmosis_tpu.guidance.operators import get_operator
-    from tools.train_toy_prior import synth_scene_batch
-
-    wd = args.workdir
-    for sub in ("input", "gt_rgb", "gt_depth"):
-        os.makedirs(os.path.join(wd, sub), exist_ok=True)
-
-    # known water parameters (same regime as validate_toy_e2e)
-    phi_true = {
-        "phi_a": jnp.array([[0.55, 0.45, 0.35]]),
-        "phi_b": jnp.array([[0.5, 0.4, 0.35]]),
-        "phi_inf": jnp.array([[0.18, 0.32, 0.45]]),
-    }
-    op = get_operator(
-        "underwater_physical_revised", batch_size=1, optimizer="sgd",
-        depth_type="gamma", value="1.4,1.4,1",
-        phi_a="0.7,0.6,0.5", phi_b="0.6,0.5,0.45", phi_inf="0.14,0.29,0.49",
+    from tools.simulate_degraded import (
+        DEFAULT_PHI, simulate_dataset, synth_scenes,
     )
 
-    key = jax.random.key(args.seed)
-    for i in range(args.scenes):
-        kk = jax.random.fold_in(key, i)
-        scene = synth_scene_batch(jax.random.fold_in(kk, 0), 1, args.size)
-        rgb01 = np.clip(0.5 * (np.asarray(scene[..., :3])[0] + 1.0), 0, 1)
-        depth01 = np.clip(0.5 * (np.asarray(scene[..., 3])[0] + 1.0), 0, 1)
-        y01 = np.clip(np.asarray(op.forward(phi_true, scene))[0], 0, 1)
-        Image.fromarray((y01 * 255).astype(np.uint8)).save(
-            os.path.join(wd, "input", f"scene_{i}.png"))
-        Image.fromarray((rgb01 * 255).astype(np.uint8)).save(
-            os.path.join(wd, "gt_rgb", f"scene_{i}.png"))
-        Image.fromarray((depth01 * 65535).astype(np.uint16)).save(
-            os.path.join(wd, "gt_depth", f"scene_{i}.png"))
+    wd = args.workdir
+    rgb_guidance = args.operator == "rgb_guidance"
+    scenes = synth_scenes(args.scenes, args.size, args.seed)
 
-    # --oracle-phi: init at the exact degradation parameters, frozen
-    if args.oracle_phi:
-        op_init = dict(
-            phi_a="0.55,0.45,0.35", phi_b="0.5,0.4,0.35",
-            phi_inf="0.18,0.32,0.45", learn=bool(args.oracle_learn),
-        )
+    if rgb_guidance:
+        # guidance measurement IS the clean RGB; depth comes from the prior
+        from PIL import Image
+
+        for sub in ("input", "gt_rgb", "gt_depth"):
+            os.makedirs(os.path.join(wd, sub), exist_ok=True)
+        for name, rgbd in scenes:
+            rgb01 = np.clip(0.5 * (rgbd[0, ..., :3] + 1.0), 0, 1)
+            depth01 = np.clip(0.5 * (rgbd[0, ..., 3] + 1.0), 0, 1)
+            img = Image.fromarray((rgb01 * 255).round().astype(np.uint8))
+            img.save(os.path.join(wd, "input", f"{name}.png"))
+            img.save(os.path.join(wd, "gt_rgb", f"{name}.png"))
+            Image.fromarray((depth01 * 65535).round().astype(np.uint16)).save(
+                os.path.join(wd, "gt_depth", f"{name}.png"))
     else:
-        op_init = dict(
-            phi_a="0.7,0.6,0.5", phi_b="0.6,0.5,0.45",
-            phi_inf="0.14,0.29,0.49", learn=True,
+        simulate_dataset(wd, scenes, operator_name=args.operator)
+
+    if rgb_guidance:
+        measurement = dict(
+            operator=dict(name="rgb_guidance"),
+            noise=dict(name="gaussian", sigma=0),
         )
+        conditioning = dict(method="ps", params=dict(
+            loss_function="norm", loss_weight="depth",
+            weight_function="gamma,1.4,1.4,1",
+            scale=args.scale or "3,3,3,0.1",
+            gradient_x_prev=True, gradient_clip="True,0.01",
+        ))
+    else:
+        phi_true = DEFAULT_PHI[args.operator]
+        # --oracle-phi: init at the exact degradation parameters, frozen
+        if args.oracle_phi:
+            init, learn = dict(phi_true), bool(args.oracle_learn)
+        else:
+            init, learn = OP_SETUPS[args.operator]["init"], True
+        op_cfg = dict(
+            name=args.operator, optimizer="adam",
+            depth_type="gamma", value="1.4,1.4,1",
+        )
+        for pname, pinit in init.items():
+            op_cfg[pname] = pinit
+            op_cfg[f"{pname}_eta"] = 1e-3
+            op_cfg[f"{pname}_learn_flag"] = learn
+        measurement = dict(operator=op_cfg, noise=dict(name="clean"))
+        conditioning = dict(method="osmosis", params=dict(
+            loss_function="norm", loss_weight="depth",
+            weight_function="gamma,1.4,1.4,1",
+            scale=args.scale or "4,4,4,2",
+            gradient_x_prev=True, gradient_clip="True,0.01",
+        ))
 
     cfg = dict(
         save_dir=os.path.join(wd, "results"),
         best_of=args.best_of, phi_jitter=args.phi_jitter,
         accept_loss=args.accept_loss,
-        degamma_input=False, manual_seed=args.seed, rgb_guidance=False,
+        degamma_input=False, manual_seed=args.seed,
+        rgb_guidance=rgb_guidance,
         save_singles=True, save_grids=True,
         record_process=False, record_every=200,
         change_input_output_channels=True, input_channels=4, output_channels=8,
@@ -162,30 +231,14 @@ def main():
             min_max_denoised=False, rescale_timesteps=False,
             timestep_respacing=200,
         ),
-        conditioning=dict(method="osmosis", params=dict(
-            loss_function="norm", loss_weight="depth",
-            weight_function="gamma,1.4,1.4,1", scale="4,4,4,2",
-            gradient_x_prev=True, gradient_clip="True,0.01",
-        )),
+        conditioning=conditioning,
         aux_loss=dict(aux_loss=dict(avrg_loss=0.5, val_loss=20)),
         data=dict(batch_size=1, name="toy_demo",
                   root=os.path.join(wd, "input"), stop_after=-1,
                   ground_truth=True,
                   gt_rgb=os.path.join(wd, "gt_rgb"),
                   gt_depth=os.path.join(wd, "gt_depth")),
-        measurement=dict(
-            operator=dict(
-                name="underwater_physical_revised", optimizer="adam",
-                depth_type="gamma", value="1.4,1.4,1",
-                phi_a=op_init["phi_a"], phi_a_eta=1e-3,
-                phi_a_learn_flag=op_init["learn"],
-                phi_b=op_init["phi_b"], phi_b_eta=1e-3,
-                phi_b_learn_flag=op_init["learn"],
-                phi_inf=op_init["phi_inf"], phi_inf_eta=1e-3,
-                phi_inf_learn_flag=op_init["learn"],
-            ),
-            noise=dict(name="clean"),
-        ),
+        measurement=measurement,
     )
     cfg_path = os.path.join(wd, "toy_demo_config.yaml")
     with open(cfg_path, "w") as f:
@@ -207,7 +260,12 @@ def main():
         os.path.join(wd, "input"),
         os.path.join(wd, "gt_rgb"), resize_gt=args.size,
     )
+    corr, n_pos, corrs = depth_corr_dirs(
+        os.path.join(out, "single_images", "depth_raw"),
+        os.path.join(wd, "gt_depth"), args.size,
+    )
     print(json.dumps({
+        "operator": args.operator,
         "scenes": args.scenes,
         "global_N": args.global_N,
         "psnr_degraded": round(degraded["psnr"], 2),
@@ -215,6 +273,8 @@ def main():
         "psnr_gain_db": round(scores["psnr"] - degraded["psnr"], 2),
         "ssim_degraded": round(degraded["ssim"], 4),
         "ssim_restored": round(scores["ssim"], 4),
+        "depth_corr": round(corr, 3),
+        "depth_corr_positive": f"{n_pos}/{args.scenes}",
         "run_dir": out,
     }))
 
