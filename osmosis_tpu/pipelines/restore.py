@@ -365,6 +365,11 @@ def run_restoration(
         logger.logkv("global_iter", global_ii)
         logger.logkv("seconds", dt.total_seconds())
         logger.logkv("final_loss", float(np.asarray(res.sep_loss)[-1].mean()))
+        # final phi per channel as scalar KVs (CSV-safe, tfevents-visible);
+        # tools/evaluate.py --manifest consumes these for recovered-phi error
+        for pname, pval in getattr(res, "phi", {}).items():
+            for ci, v in enumerate(np.asarray(pval)[0].tolist()):
+                logger.logkv(f"{pname}_{ci}", round(float(v), 6))
         logger.dumpkvs()
 
     for i, (ref_img, ref_img_name) in enumerate(dataset):

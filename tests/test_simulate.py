@@ -77,6 +77,71 @@ def test_phi_jitter_varies_per_image(tmp_path):
     assert all(a > 0 for a in abs_)
 
 
+def test_simulated_protocol_phi_error_loop(tmp_path):
+    """The full quantitative loop: simulate (manifest with true phi) →
+    restore through the product pipeline → per-channel phi KVs in
+    progress.json → tools/evaluate.phi_error closes the comparison."""
+    import yaml
+
+    from tests.test_pipelines_e2e import DIFFUSION, PATTERN, TINY_UNET
+    from tools.evaluate import phi_error
+
+    sim = str(tmp_path / "sim")
+    simulate_dataset(sim, synth_scenes(1, 32, seed=11))
+
+    cfg = dict(
+        save_dir=str(tmp_path / "results"),
+        degamma_input=False, manual_seed=0, rgb_guidance=False,
+        save_singles=True, save_grids=False,
+        record_process=False, record_every=20,
+        change_input_output_channels=True, input_channels=4, output_channels=8,
+        sample_pattern=dict(PATTERN, n_iter=2),
+        unet_model=TINY_UNET,
+        diffusion=dict(DIFFUSION, timestep_respacing=10),
+        conditioning=dict(method="osmosis", params=dict(
+            loss_function="norm", loss_weight="depth",
+            weight_function="gamma,1.4,1.4,1", scale="4,4,4,2",
+            gradient_x_prev=True, gradient_clip="True,0.01",
+        )),
+        aux_loss=dict(aux_loss=dict(avrg_loss=0.5, val_loss=20)),
+        data=dict(batch_size=1, name="sim", root=os.path.join(sim, "input"),
+                  stop_after=1, ground_truth=True,
+                  gt_rgb=os.path.join(sim, "gt_rgb"),
+                  gt_depth=os.path.join(sim, "gt_depth")),
+        measurement=dict(
+            operator=dict(
+                name="underwater_physical_revised", optimizer="sgd",
+                depth_type="gamma", value="1.4,1.4,1",
+                phi_a="0.7,0.6,0.5", phi_a_eta=1e-4, phi_a_learn_flag=True,
+                phi_b="0.6,0.5,0.45", phi_b_eta=1e-4, phi_b_learn_flag=True,
+                phi_inf="0.14,0.29,0.49", phi_inf_eta=1e-4,
+                phi_inf_learn_flag=True,
+            ),
+            noise=dict(name="clean"),
+        ),
+    )
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+
+    from osmosis_tpu.pipelines import run_restoration
+
+    out = run_restoration(cfg_path)
+
+    recs = [json.loads(l) for l in open(os.path.join(out, "progress.json"))]
+    rec = recs[-1]
+    for pname in ("phi_a", "phi_b", "phi_inf"):
+        for ci in range(3):
+            assert f"{pname}_{ci}" in rec, f"missing {pname}_{ci} KV"
+
+    err = phi_error(os.path.join(sim, "manifest.json"), out)
+    assert err["n_phi_images"] == 1
+    assert np.isfinite(err["phi_mae"])
+    # untrained 10-step chain barely moves phi from its init: the error
+    # must be ~the init offset, proving truth and recovery are aligned
+    assert 0.01 < err["phi_mae"] < 0.5
+
+
 def test_gaussian_noise_in_png(tmp_path):
     clean = str(tmp_path / "clean")
     noisy = str(tmp_path / "noisy")

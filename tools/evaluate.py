@@ -109,20 +109,67 @@ def evaluate_dirs(results_dir: str, gt_dir: str, resize_gt: int = 256) -> dict:
     }
 
 
+def phi_error(manifest_path: str, run_dir: str) -> dict:
+    """Recovered-phi error: the simulation manifest's true per-image phi
+    (tools/simulate_degraded.py) vs the final phi the pipeline logged as
+    per-channel KVs in the run dir's progress.json (pipelines/restore.py).
+    With global_N > 1 the LAST record per image wins (the scored chain)."""
+    manifest = json.load(open(manifest_path))
+    last = {}
+    with open(os.path.join(run_dir, "progress.json")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "image" in rec:
+                last[os.path.splitext(rec["image"])[0]] = rec
+
+    per_name = {}
+    n_img = 0
+    for stem, truth in manifest["images"].items():
+        rec = last.get(stem)
+        if rec is None:
+            continue
+        n_img += 1
+        for pname, tvals in truth.items():
+            rvals = [rec[f"{pname}_{ci}"] for ci in range(len(tvals))
+                     if f"{pname}_{ci}" in rec]
+            if len(rvals) == len(tvals):
+                per_name.setdefault(pname, []).append(
+                    float(np.mean(np.abs(np.asarray(rvals, np.float64)
+                                         - np.asarray(tvals, np.float64)))))
+    out = {"n_phi_images": n_img}
+    all_errs = [e for v in per_name.values() for e in v]
+    if all_errs:
+        out["phi_mae"] = round(float(np.mean(all_errs)), 4)
+        for pname, errs in sorted(per_name.items()):
+            out[f"{pname}_mae"] = round(float(np.mean(errs)), 4)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--results", required=True)
     ap.add_argument("--gt", required=True)
     ap.add_argument("--resize-gt", type=int, default=256,
                     help="preprocess GT through the same resize/crop (0 = off)")
+    ap.add_argument("--manifest", default=None,
+                    help="simulate_degraded.py manifest.json: adds "
+                         "recovered-phi error vs the true parameters")
+    ap.add_argument("--run", default=None,
+                    help="run directory containing progress.json "
+                         "(default: two levels up from --results)")
     args = ap.parse_args()
 
     out = evaluate_dirs(args.results, args.gt, args.resize_gt)
-    print(json.dumps({
+    report = {
         "n": out["n"],
         "psnr_mean": round(out["psnr"], 3),
         "ssim_mean": round(out["ssim"], 4),
-    }))
+    }
+    if args.manifest:
+        run_dir = args.run or os.path.dirname(
+            os.path.dirname(os.path.abspath(args.results)))
+        report.update(phi_error(args.manifest, run_dir))
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":
