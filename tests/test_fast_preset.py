@@ -136,3 +136,8 @@ def test_turbo_preset_parses_and_respaces():
     for k in ("phi_a_eta", "phi_b_eta", "phi_inf_eta"):
         assert float(op[k]) == 1.0e-4  # 10x the 1000-step preset
     assert args.unet_model["use_fp16"] is True
+    # every run-level key the pipeline reads unconditionally must be present
+    # (a dropped save_dir crashes the CLI before sampling)
+    for k in ("save_dir", "manual_seed", "rgb_guidance", "save_singles",
+              "save_grids", "record_process", "record_every"):
+        assert hasattr(args, k), f"turbo preset missing run key {k}"

@@ -256,27 +256,34 @@ def main():
         os.path.join(out, "single_images", "rgb"),
         os.path.join(wd, "gt_rgb"), resize_gt=args.size,
     )
-    degraded = evaluate_dirs(
-        os.path.join(wd, "input"),
-        os.path.join(wd, "gt_rgb"), resize_gt=args.size,
-    )
     corr, n_pos, corrs = depth_corr_dirs(
         os.path.join(out, "single_images", "depth_raw"),
         os.path.join(wd, "gt_depth"), args.size,
     )
-    print(json.dumps({
+    report = {
         "operator": args.operator,
         "scenes": args.scenes,
         "global_N": args.global_N,
-        "psnr_degraded": round(degraded["psnr"], 2),
         "psnr_restored": round(scores["psnr"], 2),
-        "psnr_gain_db": round(scores["psnr"] - degraded["psnr"], 2),
-        "ssim_degraded": round(degraded["ssim"], 4),
         "ssim_restored": round(scores["ssim"], 4),
         "depth_corr": round(corr, 3),
         "depth_corr_positive": f"{n_pos}/{args.scenes}",
         "run_dir": out,
-    }))
+    }
+    if not rgb_guidance:
+        # in rgb_guidance mode the input IS the GT (PSNR would be inf and
+        # "gain" meaningless); the metrics of interest are measurement
+        # fidelity (psnr_restored vs the clean input) + depth-for-free corr
+        degraded = evaluate_dirs(
+            os.path.join(wd, "input"),
+            os.path.join(wd, "gt_rgb"), resize_gt=args.size,
+        )
+        report.update({
+            "psnr_degraded": round(degraded["psnr"], 2),
+            "psnr_gain_db": round(scores["psnr"] - degraded["psnr"], 2),
+            "ssim_degraded": round(degraded["ssim"], 4),
+        })
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":

@@ -124,24 +124,34 @@ def phi_error(manifest_path: str, run_dir: str) -> dict:
 
     per_name = {}
     n_img = 0
+    unmatched = set()
     for stem, truth in manifest["images"].items():
         rec = last.get(stem)
         if rec is None:
             continue
-        n_img += 1
+        matched_any = False
         for pname, tvals in truth.items():
             rvals = [rec[f"{pname}_{ci}"] for ci in range(len(tvals))
                      if f"{pname}_{ci}" in rec]
             if len(rvals) == len(tvals):
+                matched_any = True
                 per_name.setdefault(pname, []).append(
                     float(np.mean(np.abs(np.asarray(rvals, np.float64)
                                          - np.asarray(tvals, np.float64)))))
-    out = {"n_phi_images": n_img}
+            else:
+                # e.g. a haze manifest scored against an underwater run, or
+                # a run predating the per-channel phi KVs — surface it
+                # instead of silently averaging over a subset
+                unmatched.add(pname)
+        n_img += matched_any
+    out = {"n_phi_images": int(n_img)}
     all_errs = [e for v in per_name.values() for e in v]
     if all_errs:
         out["phi_mae"] = round(float(np.mean(all_errs)), 4)
         for pname, errs in sorted(per_name.items()):
             out[f"{pname}_mae"] = round(float(np.mean(errs)), 4)
+    if unmatched:
+        out["phi_unmatched"] = sorted(unmatched)
     return out
 
 

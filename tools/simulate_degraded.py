@@ -95,6 +95,8 @@ def load_gt_scenes(gt_rgb_dir: str, gt_depth_dir: str, size: int, limit: int = -
         rgbs, depths = rgbs[:limit], depths[:limit]
     for rgb_name, depth_name in zip(rgbs, depths):
         rgb = cv2.imread(os.path.join(gt_rgb_dir, rgb_name), cv2.IMREAD_COLOR)
+        if rgb is None:
+            raise SystemExit(f"cannot read rgb {rgb_name}")
         rgb = cv2.cvtColor(rgb, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
         d = cv2.imread(os.path.join(gt_depth_dir, depth_name), cv2.IMREAD_UNCHANGED)
         if d is None:
@@ -123,14 +125,20 @@ def synth_scenes(n: int, size: int, seed: int):
 
 
 def jitter_phi(phi, sigma: float, rng: np.random.Generator):
-    """Per-image multiplicative log-normal jitter, clipped positive."""
+    """Per-image multiplicative log-normal jitter, clipped positive.
+    phi_inf (veiling light, a color in [0,1]) is additionally capped at 1.0
+    so the formation output stays in [0,1] and the manifest phi keeps the
+    exact round-trip property with the saved input PNG."""
     if sigma <= 0:
         return phi
-    return {
-        k: np.maximum(v * np.exp(rng.normal(0.0, sigma, v.shape)).astype(v.dtype),
-                      1e-3)
-        for k, v in phi.items()
-    }
+    out = {}
+    for k, v in phi.items():
+        j = np.maximum(v * np.exp(rng.normal(0.0, sigma, v.shape)).astype(v.dtype),
+                       1e-3)
+        if k == "phi_inf":
+            j = np.minimum(j, 1.0)
+        out[k] = j
+    return out
 
 
 def simulate_dataset(
@@ -151,18 +159,17 @@ def simulate_dataset(
     import jax.numpy as jnp
     from PIL import Image
 
-    from osmosis_tpu.config import parse_phi
     from osmosis_tpu.guidance.operators import get_operator
 
     for sub in ("input", "gt_rgb", "gt_depth"):
         os.makedirs(os.path.join(out, sub), exist_ok=True)
 
     phi_spec = dict(DEFAULT_PHI[operator_name], **(phi_spec or {}))
-    base_phi = {k: parse_phi(v, 1) for k, v in phi_spec.items()}
     op = get_operator(
         operator_name, batch_size=1, depth_type=depth_type, value=depth_value,
-        **{k: v for k, v in phi_spec.items()},
+        **phi_spec,
     )
+    base_phi = op.phi_init()
     rng = np.random.default_rng(seed)
     manifest = {
         "operator": operator_name,
