@@ -29,7 +29,7 @@ def test_defaults_are_the_measured_best():
     assert eff["strip_min_tokens"] == 1024
     assert eff["strip_bwd"] == "rot"
     assert eff["fused_norm_silu"] is True
-    assert eff["scan_unroll"] == 1
+    assert eff["scan_unroll"] == 2  # +0.8% at 200-step scans, PERF.md round 5
     assert eff["async_save"] is False
 
 

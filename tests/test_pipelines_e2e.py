@@ -182,8 +182,9 @@ def test_shipped_configs_parse():
     from osmosis_tpu.models import unet_config_from_yaml
 
     cfgs = sorted(glob.glob("configs/*.yaml"))
-    # the reference's five presets + the fast (ddim250) preset added in r2
-    assert len(cfgs) == 6
+    # the reference's five presets + the fast (ddim200) and turbo (ddim100)
+    # latency presets
+    assert len(cfgs) == 7
     for path in cfgs:
         args = C.arguments_from_file(path)
         ucfg = unet_config_from_yaml(args.unet_model)
