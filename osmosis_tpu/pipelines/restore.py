@@ -714,6 +714,18 @@ def _run_fleet(
                             res_j.snapshots,
                             pjoin(paths["grids"], f"{orig_name}_process.png"),
                         )
+                    # same per-image progress row as the serial path (incl.
+                    # per-channel phi for tools/evaluate.py --manifest)
+                    logger.logkv("image", name)
+                    logger.logkv("global_iter", global_ii)
+                    logger.logkv(
+                        "final_loss",
+                        float(np.asarray(res_j.sep_loss)[-1].mean()),
+                    )
+                    for pname, pval in getattr(res_j, "phi", {}).items():
+                        for ci, v in enumerate(np.asarray(pval)[0].tolist()):
+                            logger.logkv(f"{pname}_{ci}", round(float(v), 6))
+                    logger.dumpkvs()
         logger.log(
             f"fleet chunk {c0 // fleet_size}: {n_real} images in "
             f"{datetime.datetime.now() - start_time}"

@@ -148,6 +148,20 @@ def test_fleet_matches_serial_with_gaussian_noise(tmp_path):
     # tail chunk (3 images / batch 2) ran unpadded
     log = open(pjoin(out_fleet, "log.txt")).read()
     assert "tail chunk of 1 images" in log
+    # fleet writes the same per-image progress rows as the serial path
+    # (image, final_loss, per-channel phi — consumed by evaluate --manifest)
+    import json as _json
+
+    rows = [_json.loads(l) for l in open(pjoin(out_fleet, "progress.json"))]
+    assert sorted(r["image"] for r in rows) == [f"img_{i}.png" for i in range(3)]
+    srows = [_json.loads(l) for l in open(pjoin(out_serial, "progress.json"))]
+    by_img = {r["image"]: r for r in srows}
+    for r in rows:
+        s = by_img[r["image"]]
+        assert np.isclose(r["final_loss"], s["final_loss"], rtol=1e-5)
+        for k in r:
+            if k.startswith("phi_"):
+                assert np.isclose(r[k], s[k], atol=2e-6), (k, r[k], s[k])
 
 
 def test_fleet_gt_resume_global_n(tmp_path):
