@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Quick prior-health probe: unconditional samples vs training statistics.
+
+Samples N images from a toy prior checkpoint and compares luminance-depth
+correlation, per-channel std and total variation against a fresh batch of
+the procedural training scenes (tools/train_toy_prior.synth_scene_batch).
+Used to separate "the prior is weak" from "the guidance recipe is wrong"
+when a validation scale fails (VALIDATION.md 3b ladder).
+
+    python tools/check_prior_stats.py --checkpoint checkpoints/toy_prior128_prod.msgpack \
+        --size 128 --channels 64 --arch production
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def stats(x):
+    """x: [B,H,W,4] in [-1,1] -> summary stats dict."""
+    rgb, depth = x[..., :3], x[..., 3]
+    lum = rgb.mean(axis=-1)
+    corrs = []
+    for b in range(x.shape[0]):
+        l, d = lum[b].ravel(), depth[b].ravel()
+        ls, ds = l.std(), d.std()
+        corrs.append(float(np.corrcoef(l, d)[0, 1]) if ls > 1e-6 and ds > 1e-6 else 0.0)
+    tv = np.mean(np.abs(np.diff(x, axis=1))) + np.mean(np.abs(np.diff(x, axis=2)))
+    return {
+        "lum_depth_corr": round(float(np.mean(corrs)), 3),
+        "rgb_std": round(float(rgb.std()), 3),
+        "depth_std": round(float(depth.std()), 3),
+        "tv": round(float(tv), 4),
+        "rgb_range": [round(float(rgb.min()), 2), round(float(rgb.max()), 2)],
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--channels", type=int, default=64)
+    ap.add_argument("--arch", default="production", choices=["toy", "production"])
+    ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=7)
+    args = ap.parse_args()
+
+    from tools.train_toy_prior import synth_scene_batch, toy_unet_config
+
+    from osmosis_tpu.diffusion.sampler import SamplerConfig, sample_loop
+    from osmosis_tpu.diffusion.schedules import make_schedule
+    from osmosis_tpu.models import UNetModel
+    from osmosis_tpu.models.convert import load_params_msgpack
+    from osmosis_tpu.utils.compilation_cache import enable as _enable
+
+    _enable()
+    cfg = toy_unet_config(args.size, args.channels, args.arch)
+    model = UNetModel(cfg)
+    params = load_params_msgpack(args.checkpoint)
+    schedule = make_schedule("linear", 1000)
+
+    def run(params_, x, key):
+        def model_fn(xx, tt):
+            return model.apply(params_, xx, tt)
+
+        out, _ = sample_loop(
+            model_fn, schedule, x, key,
+            SamplerConfig(model_var_type="fixed_small"),
+            start_t=1000, num_steps=args.steps,
+        )
+        return out
+
+    key = jax.random.key(args.seed)
+    x0 = jax.random.normal(jax.random.fold_in(key, 0),
+                           (args.n, args.size, args.size, 4))
+    samples = np.asarray(jax.jit(run)(params, x0, jax.random.fold_in(key, 1)))
+    train = np.asarray(synth_scene_batch(jax.random.fold_in(key, 2),
+                                         args.n, args.size))
+    print(json.dumps({
+        "prior_samples": stats(np.clip(samples, -1, 1)),
+        "train_scenes": stats(train),
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()
