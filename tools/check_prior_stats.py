@@ -43,6 +43,41 @@ def stats(x):
     }
 
 
+def prior_health(params, cfg, size: int, n: int = 4, steps: int = 1000,
+                 seed: int = 7) -> dict:
+    """Sample n unconditional images from `params` (UNetConfig `cfg`) and
+    return {'prior_samples': stats, 'train_scenes': stats} for comparison.
+    Called by train_toy_prior.py at the end of every run (--health-check)."""
+    from tools.train_toy_prior import synth_scene_batch
+
+    from osmosis_tpu.diffusion.sampler import SamplerConfig, sample_loop
+    from osmosis_tpu.diffusion.schedules import make_schedule
+    from osmosis_tpu.models import UNetModel
+
+    model = UNetModel(cfg)
+    schedule = make_schedule("linear", 1000)
+
+    def run(params_, x, key):
+        def model_fn(xx, tt):
+            return model.apply(params_, xx, tt)
+
+        out, _ = sample_loop(
+            model_fn, schedule, x, key,
+            SamplerConfig(model_var_type="fixed_small"),
+            start_t=1000, num_steps=steps,
+        )
+        return out
+
+    key = jax.random.key(seed)
+    x0 = jax.random.normal(jax.random.fold_in(key, 0), (n, size, size, 4))
+    samples = np.asarray(jax.jit(run)(params, x0, jax.random.fold_in(key, 1)))
+    train = np.asarray(synth_scene_batch(jax.random.fold_in(key, 2), n, size))
+    return {
+        "prior_samples": stats(np.clip(samples, -1, 1)),
+        "train_scenes": stats(train),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
@@ -54,41 +89,18 @@ def main():
     ap.add_argument("--seed", type=int, default=7)
     args = ap.parse_args()
 
-    from tools.train_toy_prior import synth_scene_batch, toy_unet_config
+    from tools.train_toy_prior import toy_unet_config
 
-    from osmosis_tpu.diffusion.sampler import SamplerConfig, sample_loop
-    from osmosis_tpu.diffusion.schedules import make_schedule
-    from osmosis_tpu.models import UNetModel
     from osmosis_tpu.models.convert import load_params_msgpack
     from osmosis_tpu.utils.compilation_cache import enable as _enable
 
     _enable()
     cfg = toy_unet_config(args.size, args.channels, args.arch)
-    model = UNetModel(cfg)
     params = load_params_msgpack(args.checkpoint)
-    schedule = make_schedule("linear", 1000)
-
-    def run(params_, x, key):
-        def model_fn(xx, tt):
-            return model.apply(params_, xx, tt)
-
-        out, _ = sample_loop(
-            model_fn, schedule, x, key,
-            SamplerConfig(model_var_type="fixed_small"),
-            start_t=1000, num_steps=args.steps,
-        )
-        return out
-
-    key = jax.random.key(args.seed)
-    x0 = jax.random.normal(jax.random.fold_in(key, 0),
-                           (args.n, args.size, args.size, 4))
-    samples = np.asarray(jax.jit(run)(params, x0, jax.random.fold_in(key, 1)))
-    train = np.asarray(synth_scene_batch(jax.random.fold_in(key, 2),
-                                         args.n, args.size))
-    print(json.dumps({
-        "prior_samples": stats(np.clip(samples, -1, 1)),
-        "train_scenes": stats(train),
-    }, indent=1))
+    print(json.dumps(prior_health(
+        params, cfg, size=args.size, n=args.n, steps=args.steps,
+        seed=args.seed,
+    ), indent=1))
 
 
 if __name__ == "__main__":

@@ -108,6 +108,13 @@ def main():
                          "res_down, multi-level virtual skips and all "
                          "attention sites with LEARNED weights")
     ap.add_argument("--out", default="checkpoints/toy_prior.msgpack")
+    ap.add_argument("--health-check", type=int, default=1,
+                    help="after training, sample N unconditional images and "
+                         "report amplitude/corr stats vs the training "
+                         "distribution (0 = off). A miscalibrated prior "
+                         "(e.g. rgb_std far above the train value) predicts "
+                         "guided-restoration failure before any validation "
+                         "run is spent on it")
     args = ap.parse_args()
 
     import optax
@@ -186,12 +193,19 @@ def main():
     save_params_msgpack(jax.device_get(ema), args.out)
     raw_out = args.out.replace(".msgpack", "_raw.msgpack")
     save_params_msgpack(jax.device_get(params), raw_out)
-    print(json.dumps({
+    report = {
         "steps": args.steps, "params_m": round(n_params / 1e6, 2),
         "final_loss": round(float(mean_l), 4),
         "ema": args.out, "raw": raw_out,
         "train_steps_per_sec": round(args.steps / (time.perf_counter() - t0), 1),
-    }))
+    }
+    if args.health_check:
+        from tools.check_prior_stats import prior_health
+
+        report["health"] = prior_health(
+            ema, cfg, size=args.size, n=4, steps=1000, seed=args.seed + 2,
+        )
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":
