@@ -84,3 +84,30 @@ def test_short_training_reduces_loss():
     last = np.mean(losses[-5:])
     assert last < 0.8 * first, f"no learning: {first:.3f} -> {last:.3f}"
     assert np.isfinite(losses).all()
+
+
+def test_prior_health_stats():
+    """tools/check_prior_stats.stats: correlation/amplitude summaries used
+    by the trainer's end-of-run health check."""
+    _s = importlib.util.spec_from_file_location(
+        "check_prior_stats",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "check_prior_stats.py"),
+    )
+    cps = importlib.util.module_from_spec(_s)
+    _s.loader.exec_module(cps)
+
+    rng = np.random.default_rng(0)
+    rgb = rng.uniform(-0.5, 0.5, (2, 16, 16, 3)).astype(np.float32)
+    lum = rgb.mean(axis=-1, keepdims=True)
+    # depth == luminance -> corr 1
+    x = np.concatenate([rgb, lum], axis=-1)
+    s = cps.stats(x)
+    assert s["lum_depth_corr"] == 1.0
+    assert 0 < s["rgb_std"] < 0.5 and s["tv"] > 0
+    # anti-correlated depth -> corr -1
+    s2 = cps.stats(np.concatenate([rgb, -lum], axis=-1))
+    assert s2["lum_depth_corr"] == -1.0
+    # constant image -> zero-variance guard, no NaN
+    s3 = cps.stats(np.zeros((1, 8, 8, 4), np.float32))
+    assert s3["lum_depth_corr"] == 0.0 and s3["tv"] == 0.0
