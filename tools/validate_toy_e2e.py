@@ -276,6 +276,21 @@ def main():
         "depth_corr_mean": round(mean_corr, 3),
         "pass": bool(ok),
     }))
+    if not ok:
+        # triage order established by the 128px investigation
+        # (VALIDATION.md 3b-iv): first separate "the prior is weak" from
+        # "the recipe is wrong" — a miscalibrated prior fails EVERY recipe
+        print(
+            "FAIL triage: (1) check prior calibration first:\n"
+            f"    python tools/check_prior_stats.py --checkpoint {args.checkpoint} "
+            f"--size {args.size} --channels {args.channels} --arch {args.arch}\n"
+            "    (rgb_std/depth_std far above the train stats => retrain "
+            "longer; guided runs cannot fix an uncalibrated prior)\n"
+            "(2) isolate guidance with --oracle-phi; (3) wrong-basin phi "
+            "(high final_loss outliers) => --best-of/--phi-jitter; (4) scale "
+            "law: double --scale per size doubling (VALIDATION.md 3b)",
+            file=sys.stderr,
+        )
     return 0 if ok else 1
 
 
