@@ -108,6 +108,11 @@ def main():
                          "res_down, multi-level virtual skips and all "
                          "attention sites with LEARNED weights")
     ap.add_argument("--out", default="checkpoints/toy_prior.msgpack")
+    ap.add_argument("--save-every", type=int, default=0,
+                    help="also save ema+raw checkpoints every N steps "
+                         "(atomic overwrite of --out; crash protection for "
+                         "multi-hour runs and mid-run health probes; "
+                         "0 = final save only)")
     ap.add_argument("--health-check", type=int, default=1,
                     help="after training, sample N unconditional images and "
                          "report amplitude/corr stats vs the training "
@@ -173,6 +178,18 @@ def main():
         )
         return p, s, e, key, losses.mean(), losses[-1]
 
+    import os
+
+    raw_out = args.out.replace(".msgpack", "_raw.msgpack")
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+
+    def _save(e, p):
+        # atomic overwrite: a crash mid-write must not corrupt the only copy
+        for tree, path in ((e, args.out), (p, raw_out)):
+            tmp = path + ".tmp"
+            save_params_msgpack(jax.device_get(tree), tmp)
+            os.replace(tmp, path)
+
     key = jax.random.key(args.seed + 1)
     t0 = time.perf_counter()
     done = 0
@@ -186,13 +203,11 @@ def main():
             print(f"step {done:6d}  loss {float(mean_l):.4f} "
                   f"(last {float(last_l):.4f})  {done / el:.1f} steps/s",
                   file=sys.stderr, flush=True)
+        if args.save_every and done % args.save_every == 0 and done < args.steps:
+            _save(ema, params)
+            print(f"checkpointed at step {done}", file=sys.stderr, flush=True)
 
-    import os
-
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    save_params_msgpack(jax.device_get(ema), args.out)
-    raw_out = args.out.replace(".msgpack", "_raw.msgpack")
-    save_params_msgpack(jax.device_get(params), raw_out)
+    _save(ema, params)
     report = {
         "steps": args.steps, "params_m": round(n_params / 1e6, 2),
         "final_loss": round(float(mean_l), 4),
