@@ -44,10 +44,19 @@ def stats(x):
 
 
 def prior_health(params, cfg, size: int, n: int = 4, steps: int = 1000,
-                 seed: int = 7) -> dict:
+                 seed: int = 7, init_mode: str = "noise") -> dict:
     """Sample n unconditional images from `params` (UNetConfig `cfg`) and
     return {'prior_samples': stats, 'train_scenes': stats} for comparison.
-    Called by train_toy_prior.py at the end of every run (--health-check)."""
+    Called by train_toy_prior.py at the end of every run (--health-check).
+
+    init_mode='q_sample' is a DIAGNOSTIC: start the chain from
+    q(x_T | x0) of held-out training scenes instead of pure N(0,1). The two
+    inits differ only by the leaked signal term sqrt(alphas_cumprod_T)*x0
+    (~0.0066*x0 for the linear-1000 schedule) — if q_sample calibrates the
+    amplitude stats while 'noise' does not, the prior's miscalibration is
+    the classic non-zero-terminal-SNR mean leak (the model learned to read
+    the per-image global mean out of x_T during training; pure noise has
+    none), not a capacity/data problem. See VALIDATION.md 3b-iv."""
     from tools.train_toy_prior import synth_scene_batch
 
     from osmosis_tpu.diffusion.sampler import SamplerConfig, sample_loop
@@ -69,8 +78,16 @@ def prior_health(params, cfg, size: int, n: int = 4, steps: int = 1000,
         return out
 
     key = jax.random.key(seed)
-    x0 = jax.random.normal(jax.random.fold_in(key, 0), (n, size, size, 4))
-    samples = np.asarray(jax.jit(run)(params, x0, jax.random.fold_in(key, 1)))
+    eps_T = jax.random.normal(jax.random.fold_in(key, 0), (n, size, size, 4))
+    if init_mode == "q_sample":
+        consts = schedule.device_constants()
+        x0_scenes = synth_scene_batch(jax.random.fold_in(key, 3), n, size)
+        x_init = (jnp.asarray(consts["sqrt_alphas_cumprod"])[-1] * x0_scenes
+                  + jnp.asarray(consts["sqrt_one_minus_alphas_cumprod"])[-1]
+                  * eps_T)
+    else:
+        x_init = eps_T
+    samples = np.asarray(jax.jit(run)(params, x_init, jax.random.fold_in(key, 1)))
     train = np.asarray(synth_scene_batch(jax.random.fold_in(key, 2), n, size))
     return {
         "prior_samples": stats(np.clip(samples, -1, 1)),
@@ -87,6 +104,10 @@ def main():
     ap.add_argument("--n", type=int, default=4)
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--init-mode", default="noise", choices=["noise", "q_sample"],
+                    help="'q_sample' starts the chain from q(x_T|x0) of "
+                         "held-out scenes — isolates the terminal-SNR mean "
+                         "leak (see prior_health docstring)")
     args = ap.parse_args()
 
     from tools.train_toy_prior import toy_unet_config
@@ -99,7 +120,7 @@ def main():
     params = load_params_msgpack(args.checkpoint)
     print(json.dumps(prior_health(
         params, cfg, size=args.size, n=args.n, steps=args.steps,
-        seed=args.seed,
+        seed=args.seed, init_mode=args.init_mode,
     ), indent=1))
 
 

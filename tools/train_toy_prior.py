@@ -97,6 +97,20 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--ema", type=float, default=0.999)
     ap.add_argument("--T", type=int, default=1000)
+    ap.add_argument("--offset-noise", type=float, default=0.0,
+                    help="sigma of a per-(image,channel) CONSTANT noise "
+                         "component added to eps (model predicts the sum). "
+                         "Antidote to the non-zero-terminal-SNR mean leak: "
+                         "the linear schedule leaves sqrt(alphas_cumprod_T)"
+                         "~0.0066 of the signal in x_T, and the per-channel "
+                         "global mean survives pixel averaging (leak SNR "
+                         "grows ~sqrt(npixels), up to ~2 near t=900 at "
+                         "128px), so the model learns to READ the scene "
+                         "mean/amplitude out of x_t instead of generating "
+                         "it — pure-noise sampling then miscalibrates "
+                         "(VALIDATION.md 3b-iv). Offset noise drowns that "
+                         "channel-mean signal so the marginal amplitude "
+                         "must be learned. 0.0 = off (exact old behavior)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--arch", default="toy", choices=["toy", "production"],
                     help="'toy' = 2-level (1,2) mult, attention at one "
@@ -150,10 +164,19 @@ def main():
     ema = jax.tree_util.tree_map(lambda p: p, params)
 
     def loss_fn(p, key):
-        kb, kt, ke = jax.random.split(key, 3)
+        if args.offset_noise > 0.0:
+            kb, kt, ke, ko = jax.random.split(key, 4)
+        else:
+            # keep the historical 3-way split so offset_noise=0 reproduces
+            # the documented training runs' RNG stream exactly
+            kb, kt, ke = jax.random.split(key, 3)
         x0 = synth_scene_batch(kb, args.batch, args.size)
         t = jax.random.randint(kt, (args.batch,), 0, args.T)
         eps = jax.random.normal(ke, x0.shape)
+        if args.offset_noise > 0.0:
+            eps = eps + args.offset_noise * jax.random.normal(
+                ko, (args.batch, 1, 1, x0.shape[-1])
+            )
         xt = sqrt_ab[t][:, None, None, None] * x0 + \
             sqrt_1mab[t][:, None, None, None] * eps
         out = model.apply(p, xt, t.astype(jnp.float32))
