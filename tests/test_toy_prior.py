@@ -111,3 +111,33 @@ def test_prior_health_stats():
     # constant image -> zero-variance guard, no NaN
     s3 = cps.stats(np.zeros((1, 8, 8, 4), np.float32))
     assert s3["lum_depth_corr"] == 0.0 and s3["tv"] == 0.0
+
+
+def test_eps_bias_table_tiny():
+    """tools/check_prior_stats.eps_bias_table: per-t accuracy probe runs on
+    a tiny random-init prior (CPU) and reports sane, finite diagnostics."""
+    _s = importlib.util.spec_from_file_location(
+        "check_prior_stats",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "check_prior_stats.py"),
+    )
+    cps = importlib.util.module_from_spec(_s)
+    _s.loader.exec_module(cps)
+
+    from osmosis_tpu.models import UNetModel
+
+    cfg = ttp.toy_unet_config(16, 32, "toy")
+    model = UNetModel(cfg)
+    params = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 4)), jnp.zeros((1,))
+    )
+    rows = cps.eps_bias_table(params, cfg, size=16, batch=2, ts=(100, 900))
+    assert [r["t"] for r in rows] == [100, 900]
+    for r in rows:
+        for k in ("proj", "rel", "x0hat_rgb_std", "x0hat_depth_std",
+                  "eps_mean_bias_rgb", "eps_mean_bias_depth"):
+            assert np.isfinite(r[k]), (k, r)
+    # random weights: eps_hat is ~uncorrelated with eps -> proj near 0,
+    # rel near 1 (both within generous slack)
+    assert abs(rows[0]["proj"]) < 0.5
+    assert 0.5 < rows[0]["rel"] < 2.0

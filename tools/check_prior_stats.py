@@ -95,6 +95,55 @@ def prior_health(params, cfg, size: int, n: int = 4, steps: int = 1000,
     }
 
 
+def eps_bias_table(params, cfg, size: int, batch: int = 8,
+                   ts=(25, 100, 300, 500, 700, 850, 950, 999),
+                   seed: int = 42) -> list:
+    """Per-t eps-prediction accuracy ON the training distribution.
+
+    For each t: xt = q_sample(x0, t, eps) on held-out scenes, eps_hat =
+    model(xt, t). Reports proj = <eps_hat,eps>/||eps||^2 (energy along the
+    true noise), rel = ||eps_hat-eps||/||eps||, the std of the implied
+    x0_hat (vs the data's ~0.25 rgb / ~0.14 depth), and per-channel-group
+    mean bias. Separates pointwise training failure (bad proj/bias at some
+    t) from trajectory compounding (all rows healthy yet unconditional
+    samples miscalibrate — the VALIDATION.md 3b-iv 128px signature)."""
+    from tools.train_toy_prior import synth_scene_batch
+
+    from osmosis_tpu.diffusion.schedules import make_schedule
+    from osmosis_tpu.models import UNetModel
+
+    model = UNetModel(cfg)
+    consts = make_schedule("linear", 1000).device_constants()
+    sab = jnp.asarray(consts["sqrt_alphas_cumprod"])
+    s1m = jnp.asarray(consts["sqrt_one_minus_alphas_cumprod"])
+
+    def probe(params_, x0, eps, t):
+        xt = sab[t] * x0 + s1m[t] * eps
+        out = model.apply(params_, xt, jnp.full((x0.shape[0],), t, jnp.float32))
+        eps_hat = out[..., :4]
+        proj = jnp.sum(eps_hat * eps) / jnp.sum(eps * eps)
+        rel = jnp.sqrt(jnp.sum((eps_hat - eps) ** 2) / jnp.sum(eps * eps))
+        x0_hat = (xt - s1m[t] * eps_hat) / sab[t]
+        return (proj, rel, jnp.std(x0_hat[..., :3]), jnp.std(x0_hat[..., 3]),
+                jnp.mean(eps_hat[..., :3] - eps[..., :3]),
+                jnp.mean(eps_hat[..., 3] - eps[..., 3]))
+
+    jp = jax.jit(probe, static_argnums=3)
+    key = jax.random.key(seed)
+    x0 = synth_scene_batch(jax.random.fold_in(key, 0), batch, size)
+    eps = jax.random.normal(jax.random.fold_in(key, 1), x0.shape)
+    rows = []
+    for t in ts:
+        r = [float(v) for v in jax.device_get(jp(params, x0, eps, int(t)))]
+        rows.append({
+            "t": int(t), "proj": round(r[0], 4), "rel": round(r[1], 4),
+            "x0hat_rgb_std": round(r[2], 3), "x0hat_depth_std": round(r[3], 3),
+            "eps_mean_bias_rgb": round(r[4], 5),
+            "eps_mean_bias_depth": round(r[5], 5),
+        })
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
@@ -108,6 +157,9 @@ def main():
                     help="'q_sample' starts the chain from q(x_T|x0) of "
                          "held-out scenes — isolates the terminal-SNR mean "
                          "leak (see prior_health docstring)")
+    ap.add_argument("--eps-bias", action="store_true",
+                    help="instead of sampling, print the per-t eps-accuracy "
+                         "table on held-out scenes (see eps_bias_table)")
     args = ap.parse_args()
 
     from tools.train_toy_prior import toy_unet_config
@@ -118,6 +170,10 @@ def main():
     _enable()
     cfg = toy_unet_config(args.size, args.channels, args.arch)
     params = load_params_msgpack(args.checkpoint)
+    if args.eps_bias:
+        for row in eps_bias_table(params, cfg, size=args.size, seed=args.seed):
+            print(json.dumps(row), flush=True)
+        return
     print(json.dumps(prior_health(
         params, cfg, size=args.size, n=args.n, steps=args.steps,
         seed=args.seed, init_mode=args.init_mode,
