@@ -141,3 +141,30 @@ def test_eps_bias_table_tiny():
     # rel near 1 (both within generous slack)
     assert abs(rows[0]["proj"]) < 0.5
     assert 0.5 < rows[0]["rel"] < 2.0
+
+
+def test_trajectory_table_tiny():
+    """tools/check_prior_stats.trajectory_table: on-chain amplitude stats
+    run on a tiny random-init prior (CPU), rows in recording order."""
+    _s = importlib.util.spec_from_file_location(
+        "check_prior_stats",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "check_prior_stats.py"),
+    )
+    cps = importlib.util.module_from_spec(_s)
+    _s.loader.exec_module(cps)
+
+    from osmosis_tpu.models import UNetModel
+
+    cfg = ttp.toy_unet_config(16, 32, "toy")
+    model = UNetModel(cfg)
+    params = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 4)), jnp.zeros((1,))
+    )
+    rows = cps.trajectory_table(params, cfg, size=16, n=1, ts=(999, 500, 0))
+    assert [r["t"] for r in rows] == [999, 500, 0]
+    for r in rows:
+        for k in ("xt_std", "x0hat_rgb_std", "x0hat_depth_std", "x0hat_rgb_mean"):
+            assert np.isfinite(r[k]), (k, r)
+    # chain starts at pure noise: x_999 must be ~N(0,1)
+    assert 0.8 < rows[0]["xt_std"] < 1.2

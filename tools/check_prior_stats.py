@@ -144,6 +144,51 @@ def eps_bias_table(params, cfg, size: int, batch: int = 8,
     return rows
 
 
+def trajectory_table(params, cfg, size: int, n: int = 4,
+                     ts=(999, 950, 850, 700, 500, 300, 100, 25, 0),
+                     seed: int = 7) -> list:
+    """Amplitude statistics ALONG the sampled chain (vs on-distribution).
+
+    Runs real unconditional sampling and records x_t / implied x0_hat at
+    the given timesteps. Comparing std(x0_hat) here against
+    eps_bias_table's on-distribution values shows WHERE the trajectory
+    departs: rows where the on-trajectory x0_hat energy exceeds the
+    on-distribution one mark the compounding region (VALIDATION.md
+    3b-iv)."""
+    from osmosis_tpu.diffusion.sampler import SamplerConfig, sample_loop
+    from osmosis_tpu.diffusion.schedules import make_schedule
+    from osmosis_tpu.models import UNetModel
+
+    model = UNetModel(cfg)
+    schedule = make_schedule("linear", 1000)
+
+    def run(params_, x, key):
+        def model_fn(xx, tt):
+            return model.apply(params_, xx, tt)
+
+        return sample_loop(
+            model_fn, schedule, x, key,
+            SamplerConfig(model_var_type="fixed_small"),
+            record_steps=ts,
+        )
+
+    key = jax.random.key(seed)
+    x_init = jax.random.normal(jax.random.fold_in(key, 0), (n, size, size, 4))
+    _, snaps = jax.jit(run)(params, x_init, jax.random.fold_in(key, 1))
+    xt = np.asarray(snaps["x_t"])
+    x0h = np.asarray(snaps["x0_hat"])
+    rows = []
+    for i, t in enumerate(snaps["steps"]):
+        rows.append({
+            "t": int(t),
+            "xt_std": round(float(xt[i].std()), 3),
+            "x0hat_rgb_std": round(float(x0h[i, ..., :3].std()), 3),
+            "x0hat_depth_std": round(float(x0h[i, ..., 3].std()), 3),
+            "x0hat_rgb_mean": round(float(x0h[i, ..., :3].mean()), 3),
+        })
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
@@ -160,6 +205,9 @@ def main():
     ap.add_argument("--eps-bias", action="store_true",
                     help="instead of sampling, print the per-t eps-accuracy "
                          "table on held-out scenes (see eps_bias_table)")
+    ap.add_argument("--trajectory", action="store_true",
+                    help="print amplitude stats recorded ALONG a real "
+                         "sampling chain (see trajectory_table)")
     args = ap.parse_args()
 
     from tools.train_toy_prior import toy_unet_config
@@ -172,6 +220,11 @@ def main():
     params = load_params_msgpack(args.checkpoint)
     if args.eps_bias:
         for row in eps_bias_table(params, cfg, size=args.size, seed=args.seed):
+            print(json.dumps(row), flush=True)
+        return
+    if args.trajectory:
+        for row in trajectory_table(params, cfg, size=args.size, n=args.n,
+                                    seed=args.seed):
             print(json.dumps(row), flush=True)
         return
     print(json.dumps(prior_health(
