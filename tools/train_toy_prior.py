@@ -111,6 +111,17 @@ def main():
                          "(VALIDATION.md 3b-iv). Offset noise drowns that "
                          "channel-mean signal so the marginal amplitude "
                          "must be learned. 0.0 = off (exact old behavior)")
+    ap.add_argument("--input-perturb", type=float, default=0.0,
+                    help="gamma of training-time input perturbation "
+                         "(arXiv 2301.11706): x_t is built with "
+                         "eps + gamma*xi (xi fresh N(0,1)) while the "
+                         "target stays eps. Simulates sampling-time "
+                         "prediction-error drift during training — the "
+                         "exposure-bias remedy for chains whose "
+                         "unconditional samples miscalibrate even though "
+                         "per-t on-distribution accuracy is fine "
+                         "(VALIDATION.md 3b-iv). 0.0 = off (exact old "
+                         "behavior incl. RNG stream)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--arch", default="toy", choices=["toy", "production"],
                     help="'toy' = 2-level (1,2) mult, attention at one "
@@ -164,21 +175,30 @@ def main():
     ema = jax.tree_util.tree_map(lambda p: p, params)
 
     def loss_fn(p, key):
-        if args.offset_noise > 0.0:
-            kb, kt, ke, ko = jax.random.split(key, 4)
+        n_extra = (args.offset_noise > 0.0) + (args.input_perturb > 0.0)
+        if n_extra:
+            kb, kt, ke, *kx = jax.random.split(key, 3 + n_extra)
         else:
-            # keep the historical 3-way split so offset_noise=0 reproduces
-            # the documented training runs' RNG stream exactly
+            # keep the historical 3-way split so the default flags
+            # reproduce the documented training runs' RNG stream exactly
             kb, kt, ke = jax.random.split(key, 3)
+            kx = []
         x0 = synth_scene_batch(kb, args.batch, args.size)
         t = jax.random.randint(kt, (args.batch,), 0, args.T)
         eps = jax.random.normal(ke, x0.shape)
         if args.offset_noise > 0.0:
             eps = eps + args.offset_noise * jax.random.normal(
-                ko, (args.batch, 1, 1, x0.shape[-1])
+                kx.pop(0), (args.batch, 1, 1, x0.shape[-1])
+            )
+        # the TARGET is eps as corrupted so far; input perturbation below
+        # is deliberately NOT part of the target (arXiv 2301.11706)
+        eps_input = eps
+        if args.input_perturb > 0.0:
+            eps_input = eps + args.input_perturb * jax.random.normal(
+                kx.pop(0), x0.shape
             )
         xt = sqrt_ab[t][:, None, None, None] * x0 + \
-            sqrt_1mab[t][:, None, None, None] * eps
+            sqrt_1mab[t][:, None, None, None] * eps_input
         out = model.apply(p, xt, t.astype(jnp.float32))
         pred_eps = out[..., :4]
         return jnp.mean((pred_eps - eps.astype(pred_eps.dtype)) ** 2)
