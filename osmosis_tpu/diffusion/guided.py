@@ -119,6 +119,7 @@ class GuidedResult:
     sep_loss: jax.Array        # [T, B] per-image guidance loss trace
     phi_trace: Dict[str, jax.Array]  # [T, B, C]
     aux_trace: Dict[str, jax.Array]  # [T]
+    x0_std_trace: Optional[jax.Array] = None  # [T, B] x0-hat amplitude
     # final phi-optimizer state — thread back in as opt_state_init for
     # global_N>1 warm starts (the operator outlives the global loop in the
     # reference, osmosis_sampling.py:146-163 vs :191)
@@ -137,7 +138,7 @@ jax.tree_util.register_dataclass(
     GuidedResult,
     data_fields=[
         "sample", "pred_xstart", "phi", "sep_loss", "phi_trace", "aux_trace",
-        "opt_state", "x0_snapshots",
+        "x0_std_trace", "opt_state", "x0_snapshots",
     ],
     meta_fields=["snapshot_steps"],
 )
@@ -540,7 +541,15 @@ def guided_sample_loop(
                 lambda: None,
             )
 
-        ys = {"sep_loss": sep, "phi": phi, "aux": aux_vec}
+        # per-image x0-hat std: amplitude telemetry for trajectory-health
+        # triage (a chain whose x0_std fails to contract toward the prior's
+        # scale by mid-chain is sampling off-manifold — VALIDATION.md 3b-iv).
+        # Rides the trace outputs; x0 is read by the loss anyway, so XLA
+        # fuses the reduction into existing passes.
+        x0_std = jnp.std(
+            x0.astype(jnp.float32).reshape(B, -1), axis=1
+        )
+        ys = {"sep_loss": sep, "phi": phi, "aux": aux_vec, "x0_std": x0_std}
         if ltsp:
             return (x, phi, opt_state, x0, b_x0, eps_hist), ys
         return (x, phi, opt_state, x0, b_x0), ys
@@ -573,6 +582,7 @@ def guided_sample_loop(
         sep_loss=ys["sep_loss"],
         phi_trace=ys["phi"],
         aux_trace=ys["aux"],
+        x0_std_trace=ys["x0_std"],
         opt_state=opt_state,
         x0_snapshots=buf_x0,
         snapshot_steps=tuple(rec_steps),

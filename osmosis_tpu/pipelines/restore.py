@@ -89,6 +89,10 @@ def _log_trace_summary(logger, res, max_rows=10):
             for k, v in res.phi_trace.items()
         }
         row = f"  t={T - 1 - i:4d} loss={float(sep[i].mean()):9.3f}"
+        if getattr(res, "x0_std_trace", None) is not None:
+            # amplitude telemetry: healthy chains contract x0-hat std toward
+            # the prior's scene scale by mid-chain (VALIDATION.md 3b-iv)
+            row += f" x0_std={float(np.asarray(res.x0_std_trace)[i].mean()):.3f}"
         aux = {
             k: round(float(np.asarray(v)[i]), 3)
             for k, v in res.aux_trace.items()
