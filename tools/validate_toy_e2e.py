@@ -284,8 +284,12 @@ def main():
             "FAIL triage: (1) check prior calibration first:\n"
             f"    python tools/check_prior_stats.py --checkpoint {args.checkpoint} "
             f"--size {args.size} --channels {args.channels} --arch {args.arch}\n"
-            "    (rgb_std/depth_std far above the train stats => retrain "
-            "longer; guided runs cannot fix an uncalibrated prior)\n"
+            "    (rgb_std/depth_std far above the train stats => the prior "
+            "learned to read amplitude cues sampling cannot provide; the "
+            "MEASURED fix is retraining with --offset-noise 0.1 — more "
+            "data/steps does NOT fix it. Probe ladder: --trajectory for "
+            "on-chain contraction, --eps-bias for per-t accuracy — "
+            "VALIDATION.md 3b-iv)\n"
             "(2) isolate guidance with --oracle-phi; (3) wrong-basin phi "
             "(high final_loss outliers) => --best-of/--phi-jitter; (4) scale "
             "law: double --scale per size doubling (VALIDATION.md 3b)",
