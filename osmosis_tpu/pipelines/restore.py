@@ -81,6 +81,8 @@ def _log_trace_summary(logger, res, max_rows=10):
     T = sep.shape[0]
     if T == 0:
         return
+    x0_std = res.x0_std_trace
+    x0_std = np.asarray(x0_std) if x0_std is not None else None  # one fetch
     idx = np.unique(np.linspace(0, T - 1, max_rows).round().astype(int))
     lines = ["chain telemetry (scan trace; step runs t=T-1..0):"]
     for i in idx:
@@ -89,10 +91,10 @@ def _log_trace_summary(logger, res, max_rows=10):
             for k, v in res.phi_trace.items()
         }
         row = f"  t={T - 1 - i:4d} loss={float(sep[i].mean()):9.3f}"
-        if getattr(res, "x0_std_trace", None) is not None:
+        if x0_std is not None:
             # amplitude telemetry: healthy chains contract x0-hat std toward
             # the prior's scene scale by mid-chain (VALIDATION.md 3b-iv)
-            row += f" x0_std={float(np.asarray(res.x0_std_trace)[i].mean()):.3f}"
+            row += f" x0_std={float(x0_std[i].mean()):.3f}"
         aux = {
             k: round(float(np.asarray(v)[i]), 3)
             for k, v in res.aux_trace.items()
