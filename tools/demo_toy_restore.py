@@ -96,6 +96,10 @@ def main():
     ap.add_argument("--global-opt-reset", action="store_true",
                     help="reset phi optimizer moments between global chains "
                          "(extension; phi itself still warm-starts)")
+    ap.add_argument("--phi-eta", type=float, default=1e-3,
+                    help="phi optimizer learning rate (halve per size "
+                         "doubling from the 64px value 1e-3 — "
+                         "VALIDATION.md 3b scale law)")
     ap.add_argument("--global-eta-scale", type=float, default=1.0,
                     help="geometric phi-eta decay across global chains: "
                          "chain ii runs with etas * scale**ii (extension)")
@@ -172,7 +176,7 @@ def main():
         )
         for pname, pinit in init.items():
             op_cfg[pname] = pinit
-            op_cfg[f"{pname}_eta"] = 1e-3
+            op_cfg[f"{pname}_eta"] = args.phi_eta
             op_cfg[f"{pname}_learn_flag"] = learn
         measurement = dict(operator=op_cfg, noise=dict(name="clean"))
         conditioning = dict(method="osmosis", params=dict(
