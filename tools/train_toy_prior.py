@@ -147,14 +147,27 @@ def main():
                          "run is spent on it")
     args = ap.parse_args()
 
+    import os
+
     import optax
 
+    from osmosis_tpu import perf as _perf
     from osmosis_tpu.diffusion.schedules import make_schedule
     from osmosis_tpu.models import UNetConfig, UNetModel
     from osmosis_tpu.models.convert import save_params_msgpack
     from osmosis_tpu.utils.compilation_cache import enable as _enable
 
     _enable()
+    # Strip-batched convs are an inference-latency layout. In the TRAINING
+    # backward (wgrad + optimizer state alive) the strip tensors at small
+    # levels tile-pad catastrophically ([.., strips, 2, 32, C] against the
+    # (8,128) TPU tile = up to 64-128x HBM expansion per remat copy) and
+    # OOM 64px+ toy configs. Training is MXU-bound at these shapes anyway,
+    # and the trained parameters are layout-independent (strip==flat
+    # exactness is pinned by tests/test_strip_conv.py) — so train FLAT
+    # unless the env explicitly overrides.
+    if "OSMOSIS_TPU_STRIP_CONV" not in os.environ:
+        _perf.set_perf(strip_conv=False)
 
     cfg = toy_unet_config(args.size, args.channels, args.arch)
     model = UNetModel(cfg)
@@ -220,8 +233,6 @@ def main():
             train_chunk, (p, s, e, key), None, length=args.chunk
         )
         return p, s, e, key, losses.mean(), losses[-1]
-
-    import os
 
     raw_out = args.out.replace(".msgpack", "_raw.msgpack")
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
