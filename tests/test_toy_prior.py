@@ -168,3 +168,20 @@ def test_trajectory_table_tiny():
             assert np.isfinite(r[k]), (k, r)
     # chain starts at pure noise: x_999 must be ~N(0,1)
     assert 0.8 < rows[0]["xt_std"] < 1.2
+
+
+def test_trainer_warm_start(tmp_path, monkeypatch):
+    """train_toy_prior --init-from: a short CPU run saves a checkpoint and a
+    continuation run loads it (resume-after-crash path)."""
+    out = str(tmp_path / "p.msgpack")
+    base = ["train_toy_prior.py", "--steps", "2", "--chunk", "1",
+            "--size", "16", "--channels", "32", "--batch", "2", "--T", "100",
+            "--health-check", "0", "--out", out]
+    monkeypatch.setattr(sys, "argv", base)
+    ttp.main()
+    assert os.path.exists(out)
+    raw = out.replace(".msgpack", "_raw.msgpack")
+    assert os.path.exists(raw)
+    monkeypatch.setattr(sys, "argv", base + ["--init-from", raw, "--seed", "9"])
+    ttp.main()  # must load, train one more chunk, and re-save
+    assert os.path.exists(out)

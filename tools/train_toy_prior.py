@@ -133,6 +133,16 @@ def main():
                          "res_down, multi-level virtual skips and all "
                          "attention sites with LEARNED weights")
     ap.add_argument("--out", default="checkpoints/toy_prior.msgpack")
+    ap.add_argument("--init-from", default=None,
+                    help="warm-start parameters from an existing msgpack "
+                         "checkpoint (use the _raw file — the EMA weights "
+                         "lag the training trajectory). Continues training "
+                         "with fresh optimizer moments and EMA seeded at "
+                         "the loaded params; --steps counts the NEW steps. "
+                         "Pass a DIFFERENT --seed than the original run or "
+                         "the continuation replays the same data stream. "
+                         "Resume-after-crash and train-longer support for "
+                         "the multi-hour 128/256px runs")
     ap.add_argument("--save-every", type=int, default=0,
                     help="also save ema+raw checkpoints every N steps "
                          "(atomic overwrite of --out; crash protection for "
@@ -171,10 +181,16 @@ def main():
 
     cfg = toy_unet_config(args.size, args.channels, args.arch)
     model = UNetModel(cfg)
-    params = jax.jit(model.init)(
-        jax.random.key(args.seed),
-        jnp.zeros((1, args.size, args.size, 4)), jnp.zeros((1,)),
-    )
+    if args.init_from:
+        from osmosis_tpu.models.convert import load_params_msgpack
+
+        params = load_params_msgpack(args.init_from)
+        print(f"warm-start from {args.init_from}", file=sys.stderr)
+    else:
+        params = jax.jit(model.init)(
+            jax.random.key(args.seed),
+            jnp.zeros((1, args.size, args.size, 4)), jnp.zeros((1,)),
+        )
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     print(f"toy prior: {n_params / 1e6:.2f}M params", file=sys.stderr)
 
