@@ -20,7 +20,12 @@ def average_loss(x: jax.Array) -> jax.Array:
     RGB channels (losses.py:29-45). NHWC input in [-1,1]."""
     rgb = x[..., 0:3]
     mean = jnp.mean(rgb, axis=(1, 2))  # [B, 3]
-    return jnp.sum(jnp.abs(mean))
+    # |m| written so the subgradient at m == 0 is 0, matching torch
+    # (jnp.abs' gives 1 there, torch.abs' gives 0). A saturated x0-hat
+    # (clip_denoised at high t) can land a channel mean on exactly 0, where
+    # the conventions inject a ±gamma/HW gradient difference into the
+    # x0-gradient guidance mode (which never clips, so it shows up 1:1).
+    return jnp.sum(jax.lax.stop_gradient(jnp.sign(mean)) * mean)
 
 
 @LOSSES.register("val_loss")

@@ -421,3 +421,177 @@ def test_guidance_and_freeze_windows():
             assert sep[r] == 0.0, f"loss nonzero at unguided t={t}"
         else:
             assert sep[r] > 0.0, f"loss zero at guided t={t}"
+
+
+# ---------------------------------------------------------------------------
+# gradient_x_prev=False — the x0-gradient guidance mode
+# ---------------------------------------------------------------------------
+
+# scale 2 keeps the chain out of the chaotic regime: the x0-gradient mode
+# never clips its gradient, and at the presets' scale 7 the synthetic chain
+# amplifies a 1e-6 input perturbation to 5e-2 final diff IN PURE TORCH
+# (measured), so endpoint comparisons there bound nothing. At scale 2 the
+# torch chaos floor is 2e-4 and the cross-framework diff measures 3.5e-5.
+X0_COND_PARAMS = dict(COND_PARAMS, gradient_x_prev=False, scale="2,2,2,0.5")
+
+
+def test_reference_x0_grad_mode_is_broken(no_torch_noise):
+    """The reference's gradient_x_prev=False branch CRASHES on every path:
+    conditioning forces x_prev.requires_grad_(False)
+    (condition_methods.py:156) and then every final backward passes x_prev
+    as an input (condition_methods.py:185-191); torch's
+    backward(inputs=...) retain_grad()s each input, which raises on a
+    requires_grad=False tensor — and the x_0_hat.grad the update reads
+    (condition_methods.py:229) is never populated on any path. Pinned here
+    so the intended-semantics parity below is justified (there is no
+    working reference chain to compare against)."""
+    import_reference()
+    import torch
+    from guided_diffusion.measurements import get_noise, get_operator as ref_get_op
+    from guided_diffusion.condition_methods import get_conditioning_method
+
+    operator = ref_get_op(
+        name="underwater_physical_revised", device=torch.device("cpu"),
+        batch_size=1, **OP_KW,
+    )
+    cond = get_conditioning_method(
+        "osmosis", operator, get_noise(name="clean"),
+        **X0_COND_PARAMS, **PATTERN,
+        aux_loss={"avrg_loss": 0.5, "val_loss": 20.0},
+    )
+    rng = np.random.default_rng(3)
+    mk = lambda c: torch.from_numpy(
+        rng.standard_normal((1, c, HW, HW)).astype(np.float32))
+    for freeze in (False, True):
+        with pytest.raises(RuntimeError):
+            cond.conditioning(
+                x_prev=mk(4), x_t=mk(4), x_0_hat=mk(4), measurement=mk(3),
+                freeze_phi=freeze, time_index=0.5,
+            )
+
+
+def _run_reference_osmosis_x0grad_intended(x0, y):
+    """The documented INTENT of gradient_x_prev=False ("the gradient of the
+    forward degradation is according x_0_pred",
+    configs/osmosis_sample_config.yaml:94) with the broken autograd plumbing
+    fixed — reusing the reference's own loss / physics / phi-optimizer code
+    verbatim, inside the reference's own p_sample_loop. The only changes vs
+    condition_methods.py:146-231: gradients are accumulated into x_0_hat
+    instead of the grad-disabled x_prev, and the update applies
+    x_0_hat.grad (never clipped, matching :227-229)."""
+    import torch
+    from guided_diffusion.gaussian_diffusion import create_sampler
+    from guided_diffusion.measurements import get_noise, get_operator as ref_get_op
+    from guided_diffusion.condition_methods import (
+        PosteriorSamplingOsmosis,
+    )
+
+    class FixedX0Grad(PosteriorSamplingOsmosis):
+        def conditioning(self, x_prev, x_t, x_0_hat, measurement, **kwargs):
+            freeze_phi = kwargs.get("freeze_phi", False)
+            time_index = kwargs.get("time_index", None)
+            x_0_hat = x_0_hat.detach().requires_grad_(True)
+            self.operator.set_variable_gradients(value=not freeze_phi)
+            inner = 1 if freeze_phi else self.n_iter
+            aux_loss_dict = None
+            for ii in range(inner):
+                sep_loss, loss, _ = self.grad_and_value(
+                    x_prev=x_prev, x_0_hat=x_0_hat, measurement=measurement,
+                    time_index=time_index)
+                if self.aux_loss is not None:
+                    aux_total, aux_loss_dict = self.aux_loss.forward(x_0_hat)
+                    total_loss = loss + aux_total
+                else:
+                    total_loss = loss
+                if ii == inner - 1:
+                    inputs = [x_0_hat]
+                    if not freeze_phi:
+                        inputs += self.operator.get_variable_list()
+                    total_loss.backward(inputs=inputs)
+                else:
+                    total_loss.backward(inputs=self.operator.get_variable_list())
+                variables_dict = self.operator.optimize(freeze_phi=freeze_phi)
+            with torch.no_grad():
+                guidance_scale = self.scale[None, ..., None, None]
+                x_t -= guidance_scale * x_0_hat.grad
+            return x_t, sep_loss, variables_dict, x_0_hat.grad.cpu(), aux_loss_dict
+
+    sampler = create_sampler(
+        sampler="ddpm", steps=T_STEPS, noise_schedule="linear",
+        model_mean_type="epsilon", model_var_type="learned_range",
+        dynamic_threshold=False, clip_denoised=True, rescale_timesteps=False,
+        timestep_respacing="",
+    )
+    operator = ref_get_op(
+        name="underwater_physical_revised", device=torch.device("cpu"),
+        batch_size=1, **OP_KW,
+    )
+    cond = FixedX0Grad(
+        operator, get_noise(name="clean"), **X0_COND_PARAMS, **PATTERN,
+        aux_loss={"avrg_loss": 0.5, "val_loss": 20.0},
+    )
+    x_start = torch.from_numpy(x0.transpose(0, 3, 1, 2)).clone().requires_grad_()
+    img, variable_dict, loss, pred_xstart = sampler.p_sample_loop(
+        model=_fake_model_torch, x_start=x_start,
+        measurement=torch.from_numpy(y.transpose(0, 3, 1, 2)),
+        measurement_cond_fn=cond.conditioning,
+        record=False, save_root=None, pretrain_model="osmosis",
+        rgb_guidance=False, sample_pattern=PATTERN,
+    )
+    return (
+        img.detach().numpy(), pred_xstart.numpy(),
+        {k: v.numpy() for k, v in variable_dict.items()}, np.asarray(loss),
+    )
+
+
+def test_osmosis_x0_grad_loop_parity(no_torch_noise):
+    """Full-chain exactness of the x0-gradient mode (guided.py:396-398:
+    g_used = g_x0, unclipped) against the intended-semantics torch run."""
+    import_reference()
+    rng = np.random.default_rng(21)
+    x0 = rng.standard_normal((1, HW, HW, 4)).astype(np.float32)
+    y = rng.uniform(-1, 1, (1, HW, HW, 3)).astype(np.float32)
+
+    ref_img, ref_x0hat, ref_phi, ref_loss = \
+        _run_reference_osmosis_x0grad_intended(x0, y)
+
+    sch = make_schedule("linear", T_STEPS)
+    op = get_operator("underwater_physical_revised", batch_size=1, **OP_KW)
+    gcfg = GuidanceConfig.from_config(
+        "osmosis", X0_COND_PARAMS, PATTERN,
+        {"aux_loss": {"avrg_loss": 0.5, "val_loss": 20.0}},
+    )
+    res = guided_sample_loop(
+        _fake_model_jax, sch, jnp.asarray(x0), jnp.asarray(y),
+        jax.random.key(0), op, gcfg, SamplerConfig(clip_denoised=True),
+        sample_pattern=PATTERN, deterministic=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.pred_xstart).transpose(0, 3, 1, 2), ref_x0hat,
+        rtol=1e-3, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.sample).transpose(0, 3, 1, 2), ref_img,
+        rtol=1e-3, atol=2e-4,
+    )
+    for k in ("phi_a", "phi_b", "phi_inf"):
+        np.testing.assert_allclose(
+            np.asarray(res.phi[k]), ref_phi[k].reshape(1, 3),
+            rtol=1e-4, atol=1e-5,
+        )
+    np.testing.assert_allclose(
+        np.asarray(res.sep_loss)[-1], ref_loss, rtol=1e-3, atol=1e-4
+    )
+    # phi moved, and the guidance direction actually differs from the
+    # x_prev-gradient mode (the two modes must not silently alias)
+    assert np.abs(np.asarray(res.phi["phi_a"]) - np.array([1.1, 0.95, 0.95])).max() > 1e-6
+    gcfg_full = GuidanceConfig.from_config(
+        "osmosis", COND_PARAMS, PATTERN,
+        {"aux_loss": {"avrg_loss": 0.5, "val_loss": 20.0}},
+    )
+    res_full = guided_sample_loop(
+        _fake_model_jax, sch, jnp.asarray(x0), jnp.asarray(y),
+        jax.random.key(0), op, gcfg_full, SamplerConfig(clip_denoised=True),
+        sample_pattern=PATTERN, deterministic=True,
+    )
+    assert np.abs(np.asarray(res.sample) - np.asarray(res_full.sample)).max() > 1e-6

@@ -95,6 +95,12 @@ def main():
     ap.add_argument("--arch", default="toy", choices=["toy", "production"],
                     help="must match the trained checkpoint's "
                          "train_toy_prior.py --arch")
+    ap.add_argument("--x0-grad", action="store_true",
+                    help="gradient_x_prev=False (the reference's config knob, "
+                         "condition_methods.py:75): guidance gradient taken "
+                         "w.r.t. x0-hat instead of x_prev — skips the UNet "
+                         "backward entirely (~2x step rate); gradient never "
+                         "clipped on this path (condition_methods.py:227-229)")
     ap.add_argument("--oracle-phi", action="store_true",
                     help="subsystem isolation: initialize phi at the TRUE "
                          "water parameters and freeze it (learn flags off) "
@@ -159,7 +165,7 @@ def main():
         "osmosis",
         dict(loss_function="norm", loss_weight="depth",
              weight_function="gamma,1.4,1.4,1", scale=args.scale,
-             gradient_x_prev=True, gradient_clip="True,0.01"),
+             gradient_x_prev=not args.x0_grad, gradient_clip="True,0.01"),
         pattern, {"aux_loss": {"avrg_loss": 0.5, "val_loss": 20.0}},
     )
     scfg = SamplerConfig(sampler=args.sampler, model_var_type="fixed_small",
