@@ -112,6 +112,10 @@ def main():
                     help="phi-init jitter sigma for restart trials > 0")
     ap.add_argument("--accept-loss", type=float, default=None,
                     help="stop restarting once a trial's final loss is <= X")
+    ap.add_argument("--x0-grad", action="store_true",
+                    help="gradient_x_prev=False: guidance gradient w.r.t. "
+                         "x0-hat — skips the UNet backward (~2.1x step "
+                         "rate); needs a smaller scale (VALIDATION.md)")
     ap.add_argument("--oracle-phi", action="store_true",
                     help="diagnostic: init phi at the TRUE water parameters "
                          "and freeze it (learn flags off) — the oracle ceiling")
@@ -182,8 +186,12 @@ def main():
         conditioning = dict(method="osmosis", params=dict(
             loss_function="norm", loss_weight="depth",
             weight_function="gamma,1.4,1.4,1",
-            scale=args.scale or "4,4,4,2",
-            gradient_x_prev=True, gradient_clip="True,0.01",
+            # x0-grad default from the VALIDATION.md sweep: half the x_prev
+            # scale (the unclipped x0 gradient is stronger per unit scale;
+            # uniform RGB:depth ratio preserved — raising the depth
+            # component alone measured worse on both metrics)
+            scale=args.scale or ("2,2,2,1" if args.x0_grad else "4,4,4,2"),
+            gradient_x_prev=not args.x0_grad, gradient_clip="True,0.01",
         ))
 
     cfg = dict(
