@@ -44,7 +44,7 @@ def _force_sync(out):
 
 
 def build_guided_run(dtype=jnp.bfloat16, n_iter=20, image_size=256, batch=1,
-                     gradient_x_prev=True):
+                     gradient_x_prev=True, x_prev_every=1):
     from osmosis_tpu.diffusion.guided import GuidanceConfig, guided_sample_loop
     from osmosis_tpu.diffusion.sampler import SamplerConfig
     from osmosis_tpu.diffusion.schedules import make_schedule
@@ -87,7 +87,8 @@ def build_guided_run(dtype=jnp.bfloat16, n_iter=20, image_size=256, batch=1,
         "osmosis",
         dict(loss_function="norm", loss_weight="depth",
              weight_function="gamma,1.4,1.4,1", scale="7,7,7,0.9",
-             gradient_x_prev=gradient_x_prev, gradient_clip="True,0.005"),
+             gradient_x_prev=gradient_x_prev, gradient_clip="True,0.005",
+             x_prev_every=x_prev_every),
         pattern,
         {"aux_loss": {"avrg_loss": 0.5, "val_loss": 20.0}},
     )

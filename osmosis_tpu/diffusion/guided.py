@@ -74,6 +74,14 @@ class GuidanceConfig:
     # default False matches from_config and the reference
     # (condition_methods.py:75 — params.get('gradient_x_prev', False))
     gradient_x_prev: bool = False
+    # hybrid gradient schedule (framework extension, no reference analog):
+    # with gradient_x_prev=True, take the full x_prev gradient (UNet vjp)
+    # only every k-th chain step and the cheap x0-hat gradient on the rest —
+    # interpolates between the full mode's quality and the x0 mode's ~2.1x
+    # step rate (PERF.md round 8). 1 = every step full (exact reference
+    # semantics). Keep small (2-8): the scan body statically unrolls k
+    # substeps, so compile time grows with k.
+    x_prev_every: int = 1
     # noise-model name the 'ps' conditioner branches on
     # (condition_methods.py:36-48: 'gaussian' | 'poisson', else NotImplemented)
     noiser_name: str = "gaussian"
@@ -100,6 +108,7 @@ class GuidanceConfig:
             method=method,
             scale=tuple(float(s) for s in parse_scale(params.get("scale", 1.0))),
             gradient_x_prev=bool(params.get("gradient_x_prev", False)),
+            x_prev_every=int(params.get("x_prev_every", 1)),
             gradient_clip=clip_on,
             gradient_clip_value=clip_val,
             loss_function=params.get("loss_function", "norm"),
@@ -214,6 +223,12 @@ def guided_sample_loop(
         except Exception:
             pass
 
+    if gcfg.x_prev_every > 1 and not gcfg.gradient_x_prev:
+        raise ValueError(
+            "x_prev_every > 1 requires gradient_x_prev: True — with "
+            "gradient_x_prev: False every step already uses the x0 gradient"
+        )
+
     T = schedule.num_timesteps
     B = x_init.shape[0]
     consts = {k: jnp.asarray(v) for k, v in schedule.device_constants().items()}
@@ -321,14 +336,18 @@ def guided_sample_loop(
         return consts[namek][tb].reshape(-1, *([1] * (x_init.ndim - 1)))
 
     # ---- one guided osmosis update (condition_methods.py:146-231) --------
-    def osmosis_guided(x, phi, opt_state, t, tb):
+    # ``use_x_prev`` is STATIC (python bool): it selects whether this step's
+    # guidance gradient runs the UNet pullback (x_prev mode) or stops at
+    # x0-hat (x0 mode) — the hybrid schedule traces different substeps with
+    # different values, so the x0 substeps compile with no backward at all.
+    def osmosis_guided(x, phi, opt_state, t, tb, use_x_prev):
         def x0_and_v(xp):
             mo = model_fn(xp, consts["model_timesteps"][tb])
             eps, v = split_model_output(mo, xp.shape[-1])
             x0 = process_xstart(predict_xstart(xp, tb, eps, consts, scfg), scfg)
             return x0, v
 
-        if gcfg.gradient_x_prev:
+        if use_x_prev:
             (x0, v), vjp_fn = jax.vjp(x0_and_v, x)
         else:
             x0, v = x0_and_v(x)
@@ -385,7 +404,7 @@ def guided_sample_loop(
         phi = _tree_select(freeze, phi, phi_new)
         opt_state = _tree_select(freeze, opt_state, st_new)
 
-        if gcfg.gradient_x_prev:
+        if use_x_prev:
             g_x = vjp_fn((g_x0, jnp.zeros_like(v)))[0]
             if gcfg.gradient_clip:
                 g_used = jnp.clip(
@@ -460,7 +479,10 @@ def guided_sample_loop(
         rec_steps, slot_map, buf_x0 = (), None, None
 
     # ---- scan body ---------------------------------------------------------
-    def step(carry, t):
+    # ``use_x_prev`` is static per traced substep: the plain (k=1) scan body
+    # passes gcfg.gradient_x_prev; the hybrid schedule's block body traces
+    # substep 0 with True and substeps 1..k-1 with False.
+    def _single_step(carry, t, use_x_prev):
         if ltsp:
             x, phi, opt_state, x0_last, b_x0, eps_hist = carry
         else:
@@ -475,11 +497,11 @@ def guided_sample_loop(
                 x_t, x0, phi2, st2, sep, aux_vec = ps_step(x_, phi_, st_, t, tb, k)
                 return (x_t, phi2, st2, x0, sep, aux_vec)
             if always_guided:
-                upd = osmosis_guided(x_, phi_, st_, t, tb)
+                upd = osmosis_guided(x_, phi_, st_, t, tb, use_x_prev)
             else:
                 upd = jax.lax.cond(
                     masks["guidance"][t],
-                    lambda op: osmosis_guided(*op, t, tb),
+                    lambda op: osmosis_guided(*op, t, tb, use_x_prev),
                     lambda op: plain_update(*op, t, tb),
                     (x_, phi_, st_),
                 )
@@ -554,6 +576,9 @@ def guided_sample_loop(
             return (x, phi, opt_state, x0, b_x0, eps_hist), ys
         return (x, phi, opt_state, x0, b_x0), ys
 
+    def step(carry, t):
+        return _single_step(carry, t, gcfg.gradient_x_prev)
+
     ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
     carry0 = (x_init, phi0, opt_state0, jnp.zeros_like(x_init), buf_x0)
     # perf knob scan_unroll>1 unrolls scan bodies so XLA can schedule one
@@ -564,7 +589,54 @@ def guided_sample_loop(
     unroll = int(_perf.get("scan_unroll"))
     if T % max(unroll, 1) != 0:
         unroll = 1
-    if ltsp:
+
+    # ---- hybrid gradient schedule (x_prev_every=k > 1) ---------------------
+    # Framework extension: full x_prev gradient (UNet vjp) on chain steps
+    # s % k == 0, the cheap x0-hat gradient on the rest. TPU-native design:
+    # NO lax.cond in the body — the chain is statically regrouped into
+    # [T//k, k] blocks and the scan body unrolls k substeps, substep 0 traced
+    # with the vjp and substeps 1..k-1 traced backward-free, so XLA compiles
+    # exactly one executable with a 1:(k-1) full:cheap step mix. A remainder
+    # of T % k steps runs as one python-unrolled epilogue block (same
+    # full-first structure); all shipped respacings with k in {2,4,5,8} have
+    # no remainder.
+    hybrid = gcfg.gradient_x_prev and gcfg.x_prev_every > 1
+    if hybrid:
+        kk = gcfg.x_prev_every
+        if gcfg.method == "ps" or ltsp:
+            raise NotImplementedError(
+                "x_prev_every>1 implements the 'osmosis' ddpm/ddim path"
+            )
+        if kk >= T:
+            raise ValueError(
+                f"x_prev_every={kk} must be < the chain length ({T} steps)"
+            )
+        nblk, rem = T // kk, T % kk
+
+        def block_step(carry, t_vec, size):
+            ys_list = []
+            for j in range(size):
+                carry, ys_j = _single_step(carry, t_vec[j], use_x_prev=(j == 0))
+                ys_list.append(ys_j)
+            ys = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ys_list)
+            return carry, ys
+
+        # the block body is already kk-wide; scan_unroll on top would
+        # multiply compile size for no measured win — keep unroll=1 here
+        carry, ys = jax.lax.scan(
+            lambda c, tv: block_step(c, tv, kk),
+            carry0, ts[: nblk * kk].reshape(nblk, kk),
+        )
+        ys = jax.tree_util.tree_map(
+            lambda a: a.reshape((nblk * kk,) + a.shape[2:]), ys
+        )
+        if rem:
+            carry, ys_ep = block_step(carry, ts[nblk * kk:], rem)
+            ys = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), ys, ys_ep
+            )
+        x, phi, opt_state, x0_final, buf_x0 = carry
+    elif ltsp:
         zeros3 = tuple(jnp.zeros_like(x_init) for _ in range(3))
         carry0 = carry0 + (zeros3,)
         (x, phi, opt_state, x0_final, buf_x0, _), ys = jax.lax.scan(

@@ -35,6 +35,15 @@ from ..utils import profiling as prof
 from ..utils.rundir import make_output_dirs, update_save_dir_date
 
 
+def _grad_mode_str(cp):
+    """Human-readable guidance-gradient mode for the run-config snapshot:
+    x_prev / x0 (reference surface) or the hybrid schedule extension."""
+    if not cp["gradient_x_prev"]:
+        return "x0"
+    k = int(cp.get("x_prev_every", 1))
+    return f"x_prev every {k} steps, x0 between" if k > 1 else "x_prev"
+
+
 def _log_run_header(logger, args):
     """utils.py:635-669 log_text equivalent."""
     cp = args.conditioning["params"]
@@ -45,7 +54,8 @@ def _log_run_header(logger, args):
         f"\nweight: {cp['loss_weight']}, weight_function: {cp['weight_function']}"
         f"\nAuxiliary Loss: {args.aux_loss['aux_loss']}"
         f"\nUnderwater model: {op['name']}"
-        f"\nOptimize w.r.t: {'x_prev' if cp['gradient_x_prev'] else 'x0'}"
+        f"\nOptimize w.r.t: "
+        f"{_grad_mode_str(cp)}"
         f"\nOptimizer model: {op.get('optimizer', 'none')}, "
         f"\nManual seed: {args.manual_seed}"
         f"\nDepth type: {op['depth_type']}, value: {op['value']}"

@@ -595,3 +595,172 @@ def test_osmosis_x0_grad_loop_parity(no_torch_noise):
         sample_pattern=PATTERN, deterministic=True,
     )
     assert np.abs(np.asarray(res.sample) - np.asarray(res_full.sample)).max() > 1e-6
+
+
+# ---------------------------------------------------------------------------
+# x_prev_every=k — the hybrid gradient schedule (framework extension)
+# ---------------------------------------------------------------------------
+
+def _run_reference_osmosis_hybrid_intended(x0, y, k, cond_params):
+    """Intended semantics of the hybrid schedule expressed in the reference's
+    own code: full x_prev-gradient conditioning (the stock, working
+    PosteriorSamplingOsmosis path) on chain steps s % k == 0 and the fixed
+    x0-gradient conditioning (see _run_reference_osmosis_x0grad_intended) on
+    the rest. s is recovered exactly from the loop's
+    time_index = idx / num_timesteps (gaussian_diffusion.py:259) with idx
+    descending T-1..0 (gaussian_diffusion.py:210-215), so s = (T-1) - idx —
+    the same phase the jax block scan uses (guided.py hybrid section)."""
+    import torch
+    from guided_diffusion.gaussian_diffusion import create_sampler
+    from guided_diffusion.measurements import get_noise, get_operator as ref_get_op
+    from guided_diffusion.condition_methods import PosteriorSamplingOsmosis
+
+    class HybridGrad(PosteriorSamplingOsmosis):
+        def conditioning(self, x_prev, x_t, x_0_hat, measurement, **kwargs):
+            idx = int(round(kwargs["time_index"] * T_STEPS))
+            s = (T_STEPS - 1) - idx
+            if s % k == 0:
+                return super().conditioning(
+                    x_prev=x_prev, x_t=x_t, x_0_hat=x_0_hat,
+                    measurement=measurement, **kwargs)
+            # ---- x0-gradient substep (same plumbing as FixedX0Grad) ----
+            freeze_phi = kwargs.get("freeze_phi", False)
+            time_index = kwargs.get("time_index", None)
+            x_0_hat = x_0_hat.detach().requires_grad_(True)
+            self.operator.set_variable_gradients(value=not freeze_phi)
+            inner = 1 if freeze_phi else self.n_iter
+            aux_loss_dict = None
+            for ii in range(inner):
+                sep_loss, loss, _ = self.grad_and_value(
+                    x_prev=x_prev, x_0_hat=x_0_hat, measurement=measurement,
+                    time_index=time_index)
+                if self.aux_loss is not None:
+                    aux_total, aux_loss_dict = self.aux_loss.forward(x_0_hat)
+                    total_loss = loss + aux_total
+                else:
+                    total_loss = loss
+                if ii == inner - 1:
+                    inputs = [x_0_hat]
+                    if not freeze_phi:
+                        inputs += self.operator.get_variable_list()
+                    total_loss.backward(inputs=inputs)
+                else:
+                    total_loss.backward(inputs=self.operator.get_variable_list())
+                variables_dict = self.operator.optimize(freeze_phi=freeze_phi)
+            with torch.no_grad():
+                guidance_scale = self.scale[None, ..., None, None]
+                x_t -= guidance_scale * x_0_hat.grad
+            return x_t, sep_loss, variables_dict, x_0_hat.grad.cpu(), aux_loss_dict
+
+    sampler = create_sampler(
+        sampler="ddpm", steps=T_STEPS, noise_schedule="linear",
+        model_mean_type="epsilon", model_var_type="learned_range",
+        dynamic_threshold=False, clip_denoised=True, rescale_timesteps=False,
+        timestep_respacing="",
+    )
+    operator = ref_get_op(
+        name="underwater_physical_revised", device=torch.device("cpu"),
+        batch_size=1, **OP_KW,
+    )
+    cond = HybridGrad(
+        operator, get_noise(name="clean"), **cond_params, **PATTERN,
+        aux_loss={"avrg_loss": 0.5, "val_loss": 20.0},
+    )
+    x_start = torch.from_numpy(x0.transpose(0, 3, 1, 2)).clone().requires_grad_()
+    img, variable_dict, loss, pred_xstart = sampler.p_sample_loop(
+        model=_fake_model_torch, x_start=x_start,
+        measurement=torch.from_numpy(y.transpose(0, 3, 1, 2)),
+        measurement_cond_fn=cond.conditioning,
+        record=False, save_root=None, pretrain_model="osmosis",
+        rgb_guidance=False, sample_pattern=PATTERN,
+    )
+    return (
+        img.detach().numpy(), pred_xstart.numpy(),
+        {k_: v.numpy() for k_, v in variable_dict.items()}, np.asarray(loss),
+    )
+
+
+# k=2 divides T_STEPS=50 (pure block scan); k=3 leaves a remainder of 2,
+# exercising the python-unrolled epilogue block
+@pytest.mark.parametrize("k", [2, 3])
+def test_osmosis_hybrid_grad_loop_parity(no_torch_noise, k):
+    """Full-chain exactness of x_prev_every=k against an intended-semantics
+    torch run that switches gradient mode per chain step inside the
+    reference's own p_sample_loop. Scale kept small for the same chaos-floor
+    reason as the x0 test (torch's unclipped x0 substeps amplify
+    perturbations at preset-scale 7)."""
+    import_reference()
+    cond_params = dict(COND_PARAMS, scale="2,2,2,0.5", x_prev_every=k)
+    rng = np.random.default_rng(17 + k)
+    x0 = rng.standard_normal((1, HW, HW, 4)).astype(np.float32)
+    y = rng.uniform(-1, 1, (1, HW, HW, 3)).astype(np.float32)
+
+    ref_img, ref_x0hat, ref_phi, ref_loss = \
+        _run_reference_osmosis_hybrid_intended(x0, y, k, cond_params)
+
+    sch = make_schedule("linear", T_STEPS)
+    op = get_operator("underwater_physical_revised", batch_size=1, **OP_KW)
+    gcfg = GuidanceConfig.from_config(
+        "osmosis", cond_params, PATTERN,
+        {"aux_loss": {"avrg_loss": 0.5, "val_loss": 20.0}},
+    )
+    assert gcfg.x_prev_every == k
+    res = guided_sample_loop(
+        _fake_model_jax, sch, jnp.asarray(x0), jnp.asarray(y),
+        jax.random.key(0), op, gcfg, SamplerConfig(clip_denoised=True),
+        sample_pattern=PATTERN, deterministic=True,
+    )
+    # trace outputs keep the flat [T, ...] contract across the block reshape
+    assert np.asarray(res.sep_loss).shape == (T_STEPS, 1)
+    np.testing.assert_allclose(
+        np.asarray(res.pred_xstart).transpose(0, 3, 1, 2), ref_x0hat,
+        rtol=1e-3, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.sample).transpose(0, 3, 1, 2), ref_img,
+        rtol=1e-3, atol=2e-4,
+    )
+    for key in ("phi_a", "phi_b", "phi_inf"):
+        np.testing.assert_allclose(
+            np.asarray(res.phi[key]), ref_phi[key].reshape(1, 3),
+            rtol=1e-4, atol=1e-5,
+        )
+    np.testing.assert_allclose(
+        np.asarray(res.sep_loss)[-1], ref_loss, rtol=1e-3, atol=1e-4
+    )
+    # the hybrid chain must not silently alias either pure mode
+    for pure in (
+        dict(cond_params, x_prev_every=1),
+        dict(cond_params, x_prev_every=1, gradient_x_prev=False),
+    ):
+        gp = GuidanceConfig.from_config(
+            "osmosis", pure, PATTERN,
+            {"aux_loss": {"avrg_loss": 0.5, "val_loss": 20.0}},
+        )
+        rp = guided_sample_loop(
+            _fake_model_jax, sch, jnp.asarray(x0), jnp.asarray(y),
+            jax.random.key(0), op, gp, SamplerConfig(clip_denoised=True),
+            sample_pattern=PATTERN, deterministic=True,
+        )
+        assert np.abs(np.asarray(res.sample) - np.asarray(rp.sample)).max() > 1e-6
+
+
+def test_hybrid_grad_misconfig_raises():
+    sch = make_schedule("linear", T_STEPS)
+    op = get_operator("underwater_physical_revised", batch_size=1, **OP_KW)
+    x = jnp.zeros((1, HW, HW, 4))
+    y = jnp.zeros((1, HW, HW, 3))
+
+    def run(params):
+        gcfg = GuidanceConfig.from_config("osmosis", params, PATTERN, None)
+        return guided_sample_loop(
+            _fake_model_jax, sch, x, y, jax.random.key(0), op, gcfg,
+            SamplerConfig(), sample_pattern=PATTERN, deterministic=True,
+        )
+
+    # x0 mode + schedule is contradictory
+    with pytest.raises(ValueError, match="gradient_x_prev"):
+        run(dict(COND_PARAMS, gradient_x_prev=False, x_prev_every=2))
+    # period >= chain length leaves no full-gradient cadence to schedule
+    with pytest.raises(ValueError, match="chain length"):
+        run(dict(COND_PARAMS, x_prev_every=T_STEPS))

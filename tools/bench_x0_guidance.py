@@ -26,8 +26,9 @@ _enable_cache()
 import bench
 
 
-def measure(gradient_x_prev):
-    run, params, x, y = bench.build_guided_run(gradient_x_prev=gradient_x_prev)
+def measure(gradient_x_prev, x_prev_every=1):
+    run, params, x, y = bench.build_guided_run(
+        gradient_x_prev=gradient_x_prev, x_prev_every=x_prev_every)
     key = jax.random.key(3)
     t0 = time.perf_counter()
     np.asarray(jax.tree_util.tree_leaves(run(params, x, y, key))[0])
@@ -42,14 +43,29 @@ def measure(gradient_x_prev):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hybrid", type=int, nargs="*", default=[2, 4],
+                    help="x_prev_every periods to also measure (the hybrid "
+                         "gradient schedule; [] to skip)")
+    ap.add_argument("--skip-pure", action="store_true",
+                    help="measure only the --hybrid periods")
+    args = ap.parse_args()
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
-    sps_x0 = measure(False)
-    print(f"x0-grad guided (gradient_x_prev=False): {sps_x0:.2f} steps/s "
-          f"({1000/sps_x0:.1f} s per 1000-step image)", flush=True)
-    sps_full = measure(True)
-    print(f"full guided   (gradient_x_prev=True):  {sps_full:.2f} steps/s "
-          f"({1000/sps_full:.1f} s per 1000-step image)", flush=True)
-    print(f"speedup: {sps_x0/sps_full:.2f}x", flush=True)
+    sps_full = None
+    if not args.skip_pure:
+        sps_x0 = measure(False)
+        print(f"x0-grad guided (gradient_x_prev=False): {sps_x0:.2f} steps/s "
+              f"({1000/sps_x0:.1f} s per 1000-step image)", flush=True)
+        sps_full = measure(True)
+        print(f"full guided   (gradient_x_prev=True):  {sps_full:.2f} steps/s "
+              f"({1000/sps_full:.1f} s per 1000-step image)", flush=True)
+        print(f"speedup: {sps_x0/sps_full:.2f}x", flush=True)
+    for k in args.hybrid:
+        sps_k = measure(True, x_prev_every=k)
+        extra = f" ({sps_k/sps_full:.2f}x full)" if sps_full else ""
+        print(f"hybrid x_prev_every={k}: {sps_k:.2f} steps/s "
+              f"({1000/sps_k:.1f} s per 1000-step image){extra}", flush=True)
 
 
 if __name__ == "__main__":

@@ -116,6 +116,10 @@ def main():
                     help="gradient_x_prev=False: guidance gradient w.r.t. "
                          "x0-hat — skips the UNet backward (~2.1x step "
                          "rate); needs a smaller scale (VALIDATION.md)")
+    ap.add_argument("--x-prev-every", type=int, default=1,
+                    help="hybrid gradient schedule: full x_prev gradient "
+                         "every k-th chain step, x0 gradient between "
+                         "(PERF.md round 8)")
     ap.add_argument("--oracle-phi", action="store_true",
                     help="diagnostic: init phi at the TRUE water parameters "
                          "and freeze it (learn flags off) — the oracle ceiling")
@@ -192,6 +196,7 @@ def main():
             # component alone measured worse on both metrics)
             scale=args.scale or ("2,2,2,1" if args.x0_grad else "4,4,4,2"),
             gradient_x_prev=not args.x0_grad, gradient_clip="True,0.01",
+            x_prev_every=args.x_prev_every,
         ))
 
     cfg = dict(

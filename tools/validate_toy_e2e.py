@@ -101,6 +101,12 @@ def main():
                          "w.r.t. x0-hat instead of x_prev — skips the UNet "
                          "backward entirely (~2x step rate); gradient never "
                          "clipped on this path (condition_methods.py:227-229)")
+    ap.add_argument("--x-prev-every", type=int, default=1,
+                    help="hybrid gradient schedule: full x_prev gradient "
+                         "every k-th chain step, x0 gradient between — "
+                         "interpolates the full mode's quality and the x0 "
+                         "mode's step rate (PERF.md round 8); must divide "
+                         "--steps evenly for a pure block scan")
     ap.add_argument("--oracle-phi", action="store_true",
                     help="subsystem isolation: initialize phi at the TRUE "
                          "water parameters and freeze it (learn flags off) "
@@ -165,7 +171,8 @@ def main():
         "osmosis",
         dict(loss_function="norm", loss_weight="depth",
              weight_function="gamma,1.4,1.4,1", scale=args.scale,
-             gradient_x_prev=not args.x0_grad, gradient_clip="True,0.01"),
+             gradient_x_prev=not args.x0_grad, gradient_clip="True,0.01",
+             x_prev_every=args.x_prev_every),
         pattern, {"aux_loss": {"avrg_loss": 0.5, "val_loss": 20.0}},
     )
     scfg = SamplerConfig(sampler=args.sampler, model_var_type="fixed_small",
