@@ -78,7 +78,8 @@ class GuidanceConfig:
     # with gradient_x_prev=True, take the full x_prev gradient (UNet vjp)
     # only every k-th chain step and the cheap x0-hat gradient on the rest —
     # interpolates between the full mode's quality and the x0 mode's ~2.1x
-    # step rate (PERF.md round 8). 1 = every step full (exact reference
+    # step rate (measured per-k numbers: PERF.md "hybrid gradient
+    # schedule" section). 1 = every step full (exact reference
     # semantics). Keep small (2-8): the scan body statically unrolls k
     # substeps, so compile time grows with k.
     x_prev_every: int = 1
@@ -621,11 +622,16 @@ def guided_sample_loop(
             ys = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ys_list)
             return carry, ys
 
-        # the block body is already kk-wide; scan_unroll on top would
-        # multiply compile size for no measured win — keep unroll=1 here
+        # the block body is already kk-wide, so the outer unroll default is
+        # 1 (scan_unroll on top would multiply compile size); the
+        # hybrid_scan_unroll perf knob exposes the A/B
+        h_unroll = int(_perf.get("hybrid_scan_unroll"))
+        if nblk % max(h_unroll, 1) != 0:
+            h_unroll = 1
         carry, ys = jax.lax.scan(
             lambda c, tv: block_step(c, tv, kk),
             carry0, ts[: nblk * kk].reshape(nblk, kk),
+            unroll=max(h_unroll, 1),
         )
         ys = jax.tree_util.tree_map(
             lambda a: a.reshape((nblk * kk,) + a.shape[2:]), ys

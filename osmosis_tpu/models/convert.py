@@ -177,15 +177,23 @@ def load_params_orbax(path: str) -> Dict[str, Any]:
 
 def cast_params_half(params: Dict[str, Any], dtype=None) -> Dict[str, Any]:
     """Cast weights to bfloat16 for HBM-bandwidth savings, keeping every
-    GroupNorm scale/bias in fp32 (they participate in the fp32 islands)."""
+    GroupNorm scale/bias in fp32 (they participate in the fp32 islands).
+
+    perf knob ``gn_affine_bf16``: store the GN affines in bf16 TOO — the
+    math still runs fp32 (GroupNorm32 upcasts at the use site), this only
+    halves the loop-invariant f32[C] stagings the profiler attributes to
+    scan-boundary copies (PERF.md round 3 end state)."""
     import jax
     import jax.numpy as jnp
 
+    from .. import perf
+
     dtype = dtype or jnp.bfloat16
+    affine_bf16 = bool(perf.get("gn_affine_bf16"))
 
     def cast(path, leaf):
         keys = [getattr(p, "key", "") for p in path]
-        if any("norm" in str(k) for k in keys):
+        if any("norm" in str(k) for k in keys) and not affine_bf16:
             return leaf
         return leaf.astype(dtype)
 

@@ -270,6 +270,11 @@ class GroupNorm32(nn.Module):
         c_total = self.num_channels or x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c_total,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c_total,), jnp.float32)
+        # fp32 islands regardless of the STORED dtype: the gn_affine_bf16
+        # perf knob keeps these leaves bf16 in the checkpoint tree (see
+        # convert.cast_params_half) — upcast here so the math is unchanged
+        scale = jnp.asarray(scale, jnp.float32)
+        bias = jnp.asarray(bias, jnp.float32)
         c = x.shape[-1]
         groups = self.num_groups
         if not (c == c_total and channel_offset == 0):

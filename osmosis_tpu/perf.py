@@ -43,6 +43,15 @@ class PerfConfig:
     # the doubled body. Cold compile ~2.8 min vs ~30 s at unroll 1
     # (once per config; the persistent cache covers warm starts).
     scan_unroll: int = 2          # OSMOSIS_TPU_SCAN_UNROLL
+    # store GroupNorm scale/bias in bf16 (models/convert.py cast_params_half;
+    # math stays fp32 — GroupNorm32 upcasts at the use site). Experiment for
+    # the ~2.1 ms/step of async f32-affine stagings the round-3 profile
+    # attributed to scoped-memory copies (PERF.md round 3 end state).
+    gn_affine_bf16: bool = False  # OSMOSIS_TPU_GN_AFFINE_BF16
+    # unroll factor for the hybrid (x_prev_every>1) outer block scan; the
+    # block body is already k-wide, so this multiplies compile size — keep 1
+    # unless measured otherwise (diffusion/guided.py)
+    hybrid_scan_unroll: int = 1   # OSMOSIS_TPU_HYBRID_SCAN_UNROLL
     # overlap host postprocessing with the next chain (pipelines/restore.py)
     async_save: bool = False      # OSMOSIS_TPU_ASYNC_SAVE
     # negative-result record: Pallas nearest-2x upsample (models/nn.py)
@@ -59,6 +68,8 @@ _ENV = {
     "strip_bwd": "OSMOSIS_TPU_STRIP_BWD",
     "fused_norm_silu": "OSMOSIS_TPU_FUSED_NORM_SILU",
     "scan_unroll": "OSMOSIS_TPU_SCAN_UNROLL",
+    "gn_affine_bf16": "OSMOSIS_TPU_GN_AFFINE_BF16",
+    "hybrid_scan_unroll": "OSMOSIS_TPU_HYBRID_SCAN_UNROLL",
     "async_save": "OSMOSIS_TPU_ASYNC_SAVE",
     "pallas_upsample": "OSMOSIS_TPU_PALLAS_UPSAMPLE",
 }

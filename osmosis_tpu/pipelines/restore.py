@@ -321,12 +321,6 @@ def run_restoration(
     stop_after = data_config.get("stop_after", -1)
 
     if fleet_size > 1:
-        if int(getattr(args, "best_of", 1) or 1) > 1:
-            logger.log(
-                "WARNING: best_of>1 is a serial-path feature; the fleet "
-                "path runs one chain per image (set data.batch_size: 1 "
-                "for loss-selected restarts)"
-            )
         _run_fleet(
             args, dataset, paths, fleet_run, params, operator, measure_config,
             logger, gt_flag, image_size, fleet_size, stop_after, noiser,
@@ -663,12 +657,21 @@ def _run_fleet(
             continue
         items.append((i, ref_img, ref_img_name, gt))
 
-    key = jax.random.key(args.manual_seed)
-    x_one = jax.random.normal(
-        jax.random.fold_in(key, 0), (image_size, image_size, 4)
-    )
-    run_key = jax.random.fold_in(key, 1)
     noise_root = jax.random.key(args.manual_seed + 1)
+
+    # loss-selected restarts (best_of / accept_loss / phi_jitter) on the
+    # fleet path: every trial reruns the WHOLE chunk (same batch shape ⇒ one
+    # executable, no per-trial recompiles) and the best chain is kept
+    # PER LANE by final measurement loss. Restarts stop early once every
+    # lane's best loss is under accept_loss — good chunks accept on trial 0,
+    # so the adaptive cost matches the serial path (~1 chain/image); only
+    # chunks holding a basin-stuck image escalate, at the cost of re-running
+    # their already-accepted lanes (bounded by best_of, traded for zero
+    # recompilation). Trial seeds/jitter match the serial path exactly:
+    # trial_seed = manual_seed + 7919*k is image-independent there too.
+    best_of = int(getattr(args, "best_of", 1) or 1)
+    accept_loss = getattr(args, "accept_loss", None)
+    phi_jitter = float(getattr(args, "phi_jitter", 0.0) or 0.0)
 
     for c0 in range(0, len(items), fleet_size):
         chunk = items[c0 : c0 + fleet_size]
@@ -689,31 +692,90 @@ def _run_fleet(
                    key=jax.random.fold_in(noise_root, chunk[j][0]))[0]
             for j in range(n_real)
         ])
-        xs = jnp.broadcast_to(x_one, (n_real,) + x_one.shape)
-        keys = jnp.broadcast_to(run_key, (n_real,) + run_key.shape)
 
-        phi0s = opt0s = None  # cold start on the first global iteration
         _ges = args.sample_pattern.get("global_eta_scale")  # 0.0 legal
         g_eta = 1.0 if _ges is None else float(_ges)
-        for global_ii in range(global_N):
-            if global_N > 1:
-                logger.log(f"global iteration: {global_ii}\n")
-            eta_s = None if g_eta == 1.0 else jnp.float32(g_eta ** global_ii)
-            with prof.phase("fleet_sample"):
-                res = fleet_run(params, xs, ys, keys, phi0s, opt0s, eta_s)
-                res = jax.tree_util.tree_map(np.asarray, res)
-            phi0s = res.phi
-            # global_opt_reset (see the serial path): None re-inits cold
-            if args.sample_pattern.get("global_opt_reset"):
-                opt0s = None
-            else:
-                opt0s = res.opt_state
 
+        best_fl = np.full((n_real,), np.inf)
+        # per lane: list over global_ii of that lane's result pytree, taken
+        # from its best trial so far
+        best_res = [None] * n_real
+        for try_k in range(best_of):
+            trial_seed = args.manual_seed + 7919 * try_k
+            tkey = jax.random.key(trial_seed)
+            x_one = jax.random.normal(
+                jax.random.fold_in(tkey, 0), (image_size, image_size, 4)
+            )
+            run_key = jax.random.fold_in(tkey, 1)
+            xs = jnp.broadcast_to(x_one, (n_real,) + x_one.shape)
+            keys = jnp.broadcast_to(run_key, (n_real,) + run_key.shape)
+
+            phi0s = opt0s = None  # cold start on the first global iteration
+            if try_k and phi_jitter > 0:
+                # same jitter stream as the serial path (image-independent)
+                jkey = jax.random.fold_in(jax.random.key(trial_seed), 2)
+                # per-lane phi is batch-1 inside the vmapped runner; this
+                # operator's phi_init is [fleet_size, C] — slice to [1, C]
+                phi1 = {
+                    k: jnp.asarray(v)[:1] for k, v in operator.phi_init().items()
+                }
+                phi_try = {
+                    k: v + phi_jitter * jax.random.normal(
+                        jax.random.fold_in(jkey, n), v.shape)
+                    for n, (k, v) in enumerate(sorted(phi1.items()))
+                }
+                phi0s = jax.tree_util.tree_map(
+                    lambda a: jnp.broadcast_to(a, (n_real,) + a.shape), phi_try
+                )
+
+            trial = []  # over global_ii, full-batch numpy results
+            for global_ii in range(global_N):
+                if global_N > 1:
+                    logger.log(f"global iteration: {global_ii}\n")
+                eta_s = None if g_eta == 1.0 else jnp.float32(g_eta ** global_ii)
+                with prof.phase("fleet_sample"):
+                    res = fleet_run(params, xs, ys, keys, phi0s, opt0s, eta_s)
+                    res = jax.tree_util.tree_map(np.asarray, res)
+                phi0s = res.phi
+                # global_opt_reset (see the serial path): None re-inits cold
+                if args.sample_pattern.get("global_opt_reset"):
+                    opt0s = None
+                else:
+                    opt0s = res.opt_state
+                trial.append(res)
+
+            fls = np.asarray([
+                float(np.asarray(trial[-1].sep_loss)[j][-1].mean())
+                for j in range(n_real)
+            ])
+            if best_of > 1:
+                logger.log(
+                    f"restart {try_k}: final losses "
+                    f"{np.round(fls, 4).tolist()}"
+                )
+            for j in range(n_real):
+                # trial 0 always seeds the per-lane best (mirrors the serial
+                # path's `best_fl is None` arm — NaN losses from diverged
+                # random-weight chains never win an `<` comparison)
+                if best_res[j] is None or fls[j] < best_fl[j]:
+                    best_fl[j] = fls[j]
+                    best_res[j] = [
+                        jax.tree_util.tree_map(lambda a: a[j], g) for g in trial
+                    ]
+            if accept_loss is not None and (best_fl <= float(accept_loss)).all():
+                break
+        if best_of > 1:
+            logger.log(
+                f"kept restarts with final losses "
+                f"{np.round(best_fl, 4).tolist()}"
+            )
+
+        for global_ii in range(global_N):
             with prof.phase("fleet_save"):
                 for j in range(n_real):
                     _, ref_img, name, gt = chunk[j]
                     orig_name = os.path.splitext(name)[0]
-                    res_j = jax.tree_util.tree_map(lambda a: a[j], res)
+                    res_j = best_res[j][global_ii]
                     if rgb_guidance:
                         _save_rgb_guidance_outputs(
                             args, paths, orig_name, ref_img,

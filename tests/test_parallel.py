@@ -39,10 +39,13 @@ def test_data_parallel_batch_math():
     np.testing.assert_allclose(np.asarray(f(xs)), np.asarray(f(x)))
 
 
-def test_dryrun_multichip_8():
+def test_dryrun_multichip_8(monkeypatch):
     """Full driver dryrun: tiny-arch equivalence matrix (single-device vs
-    dp2/tp4 vs dp8 vs tp8) + the 552.8M production-width phase with its
-    sharded-vs-unsharded numerics comparison."""
+    dp2/tp4 vs dp8 vs tp8 vs hybrid x_prev_every) + the 552.8M
+    production-width phase with its sharded-vs-unsharded numerics
+    comparison. The driver's default entry runs the slimmed 2-phase path;
+    OSMOSIS_DRYRUN_FULL=1 restores the whole matrix here."""
+    monkeypatch.setenv("OSMOSIS_DRYRUN_FULL", "1")
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)

@@ -31,6 +31,41 @@ def test_defaults_are_the_measured_best():
     assert eff["fused_norm_silu"] is True
     assert eff["scan_unroll"] == 2  # +0.8% at 200-step scans, PERF.md round 5
     assert eff["async_save"] is False
+    assert eff["gn_affine_bf16"] is False  # experiment knob (PERF.md)
+    assert eff["hybrid_scan_unroll"] == 1
+
+
+def test_gn_affine_bf16_storage_fp32_math():
+    """gn_affine_bf16 stores GroupNorm scale/bias in bf16; GroupNorm32
+    upcasts at the use site so outputs stay within bf16-rounding of the
+    fp32-affine path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from osmosis_tpu.models.convert import cast_params_half
+    from osmosis_tpu.models.nn import GroupNorm32
+
+    gn = GroupNorm32(num_groups=4)
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 16))
+    params = gn.init(jax.random.key(1), x)
+    # nonzero affines so the cast actually matters
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.123 * jnp.arange(a.size, dtype=a.dtype) / a.size, params
+    )
+
+    half = cast_params_half({"norm": params["params"]})
+    assert half["norm"]["scale"].dtype == jnp.float32  # default: fp32 kept
+
+    perf.set_perf(gn_affine_bf16=True)
+    half_b = cast_params_half({"norm": params["params"]})
+    assert half_b["norm"]["scale"].dtype == jnp.bfloat16
+    out_ref = gn.apply(params, x)
+    out_b = gn.apply({"params": half_b["norm"]}, x)
+    np.testing.assert_allclose(
+        np.asarray(out_b), np.asarray(out_ref), rtol=2e-2, atol=2e-2
+    )
+    assert out_b.dtype == out_ref.dtype
 
 
 def test_env_overrides_config(monkeypatch):

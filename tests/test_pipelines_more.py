@@ -270,6 +270,54 @@ def test_best_of_accept_loss_and_jitter(tmp_path):
     assert a[1] != b[1], "phi_jitter had no effect on trial 1"
 
 
+def test_fleet_best_of_matches_serial(tmp_path):
+    """best_of / phi_jitter / accept_loss run on the FLEET path too (round-2
+    verdict #5): per-lane loss-selected restarts must reproduce the serial
+    best_of result for every image (trial seeds and phi jitter are
+    image-independent in both paths), and accept_loss must stop a chunk's
+    restarts once every lane is under threshold."""
+    import re
+
+    import yaml as _y
+
+    from osmosis_tpu.pipelines import run_restoration
+
+    root = str(tmp_path / "imgs")
+    _write_images(root, n=3)
+
+    def _with(p, **kv):
+        c = _y.safe_load(open(p))
+        c.update(kv)
+        _y.dump(c, open(p, "w"))
+        return p
+
+    out_serial = run_restoration(_with(
+        _fleet_cfg(tmp_path, root, 1, subdir="serialbo"),
+        best_of=2, phi_jitter=0.1,
+    ))
+    out_fleet = run_restoration(_with(
+        _fleet_cfg(tmp_path, root, 2, subdir="fleetbo"),
+        best_of=2, phi_jitter=0.1,
+    ))
+    for i in range(3):
+        a = np.asarray(Image.open(pjoin(out_serial, "single_images", "rgb", f"img_{i}.png")), dtype=np.int16)
+        b = np.asarray(Image.open(pjoin(out_fleet, "single_images", "rgb", f"img_{i}.png")), dtype=np.int16)
+        assert np.abs(a - b).max() <= 1, f"fleet best_of diverged on img_{i}"
+
+    log = open(pjoin(out_fleet, "log.txt")).read()
+    assert re.search(r"restart 1: final losses \[", log)
+    assert re.search(r"kept restarts with final losses \[", log)
+
+    # accept_loss: a huge threshold accepts every lane on trial 0 — exactly
+    # one restart line per chunk (3 images / batch 2 -> 2 chunks)
+    out_acc = run_restoration(_with(
+        _fleet_cfg(tmp_path, root, 2, subdir="fleetacc"),
+        best_of=3, accept_loss=1e9,
+    ))
+    log_acc = open(pjoin(out_acc, "log.txt")).read()
+    assert len(re.findall(r"restart \d+: final losses", log_acc)) == 2
+
+
 def test_haze_degamma_ddim_pipeline(tmp_path):
     root = str(tmp_path / "haze")
     _write_images(root)

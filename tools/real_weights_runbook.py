@@ -1,0 +1,368 @@
+#!/usr/bin/env python
+"""Day-one runbook for the real checkpoint (`osmosis_outdoor.pt`).
+
+The released weights (loaded by every reference config via
+guided_diffusion/unet.py:94-98; README.md:52-54) are not in this container,
+so paper-parity numbers are the one standing blocker (VALIDATION.md section
+5). This script binds every existing harness piece into ONE command so the
+blocker converts to results the hour the weights appear:
+
+    python tools/real_weights_runbook.py --checkpoint /path/osmosis_outdoor.pt \\
+        --gt-rgb <nyu_rgb_dir> --gt-depth <nyu_depth_dir> --stop-after 5
+
+Stages (each writes into <out>/, default runbook_results/):
+  1. convert+parity — tools/validate_checkpoint.py: .pt → flax msgpack with a
+     full-model activation parity check vs the torch reference (auto-bisect
+     instructions on mismatch).
+  2. simulate — tools/simulate_degraded.py builds the paper-protocol
+     simulation set (degraded input + GT triples + true-phi manifest) from
+     the provided clean RGBD folders at 256px (reference README.md:93-106).
+     Skipped when --sim-dir already holds input/gt_rgb/gt_depth.
+  3. reference preset — the full 1000-step simulation preset through the
+     production CLI, then tools/evaluate.py: PSNR/SSIM + recovered-phi MAE.
+  4. sign-off sweeps — fast (ddim200), turbo (ddim100), x0-gradient and
+     hybrid (x_prev_every=4) presets on the same images, each scored.
+  5. automatic health checks on every run (FUTURE.md #1 encoded):
+       * phi stall: final phi within 1% of init while the final loss stays
+         high → the run is retried once with `optimizer: adam` and the
+         report says which variant won (VALIDATION.md 3b guidance);
+       * x0_std contraction: the chain's x0-hat amplitude telemetry must
+         contract from its early-chain maximum by mid-chain; a
+         non-contracting chain is off-manifold (VALIDATION.md 3b-iv probe
+         ladder) and is flagged in the report;
+       * divergence: non-finite outputs fail the stage.
+
+Everything lands in <out>/RUNBOOK_REPORT.{md,json}.
+
+Self-test (no weights needed, run it TODAY):
+    python tools/real_weights_runbook.py --tiny
+builds a seeded random tiny torch checkpoint, synthesizes toy scenes and
+drives all five stages end-to-end — proving the runbook itself, the same
+philosophy as tools/validate_checkpoint.py's harness self-test.
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+import yaml
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, REPO)
+
+TOOLS = os.path.join(REPO, "tools")
+
+
+def sh(cmd, log_path=None, check=True):
+    """Run a stage as a subprocess (fresh JAX runtime per stage) teeing
+    output to the console and optionally a log file."""
+    print(f"\n[runbook] $ {' '.join(cmd)}", flush=True)
+    proc = subprocess.run(
+        cmd, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True,
+    )
+    print(proc.stdout)
+    if log_path:
+        with open(log_path, "w") as f:
+            f.write(proc.stdout)
+    if check and proc.returncode != 0:
+        raise RuntimeError(f"stage failed (rc={proc.returncode}): {cmd}")
+    return proc.stdout
+
+
+# ---------------------------------------------------------------- presets
+
+def _load_cfg(path):
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def make_preset_cfg(base_cfg, name, *, checkpoint, sim_dir, out_dir,
+                    stop_after, tiny_unet=None, optimizer=None):
+    """One sweep variant from the simulation preset. Returns (cfg, path)."""
+    cfg = copy.deepcopy(base_cfg)
+    cfg["save_dir"] = os.path.join(out_dir, name)
+    cfg["unet_model"]["model_path"] = checkpoint
+    if tiny_unet:
+        cfg["unet_model"].update(tiny_unet)
+    cfg["data"].update(
+        root=os.path.join(sim_dir, "input"),
+        gt_rgb=os.path.join(sim_dir, "gt_rgb"),
+        gt_depth=os.path.join(sim_dir, "gt_depth"),
+        stop_after=stop_after, ground_truth=True,
+    )
+    cfg["record_process"] = False
+
+    params = cfg["conditioning"]["params"]
+    tiny = tiny_unet is not None
+    if name == "fast":
+        # tiny self-test keeps the base's short chain; real runs get ddim200
+        if not tiny:
+            cfg["diffusion"].update(sampler="ddim", timestep_respacing="ddim200")
+        _scale_etas(cfg, 5.0)  # 5x fewer steps -> 5x phi eta (VALIDATION 3a)
+    elif name == "turbo":
+        if not tiny:
+            cfg["diffusion"].update(sampler="ddim", timestep_respacing="ddim100")
+        _scale_etas(cfg, 10.0)
+    elif name == "x0":
+        # x0-gradient mode: no UNet backward; halve the scale, keep the
+        # ratio (VALIDATION 3e scale recipe)
+        params["gradient_x_prev"] = False
+        params["scale"] = _scale_guidance(params["scale"], 0.5)
+    elif name == "hybrid":
+        params["x_prev_every"] = 4
+    elif name != "reference":
+        raise ValueError(name)
+    if optimizer:
+        cfg["measurement"]["operator"]["optimizer"] = optimizer
+
+    path = os.path.join(out_dir, f"cfg_{name}{'_' + optimizer if optimizer else ''}.yaml")
+    with open(path, "w") as f:
+        yaml.dump(cfg, f)
+    return cfg, path
+
+
+def _scale_etas(cfg, factor):
+    op = cfg["measurement"]["operator"]
+    for k in list(op):
+        if k.endswith("_eta"):
+            op[k] = float(op[k]) * factor
+
+
+def _scale_guidance(scale, factor):
+    vals = [float(s) for s in str(scale).split(",")]
+    return ",".join(str(v * factor) for v in vals)
+
+
+# ------------------------------------------------------------ health checks
+
+def parse_phi_rows(run_dir):
+    """progress.json rows -> {phi_name: final_value_list} per image."""
+    rows = []
+    p = os.path.join(run_dir, "progress.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            rows = [json.loads(line) for line in f if line.strip()]
+    return rows
+
+
+def check_phi_stall(cfg, run_dir, stall_rel=0.01):
+    """True (stalled) when every learned phi channel moved <1% from its
+    init on every image — with a nonzero eta that means the optimizer is
+    stuck (FUTURE.md #1: retry with adam)."""
+    rows = parse_phi_rows(run_dir)
+    if not rows:
+        return False
+    op = cfg["measurement"]["operator"]
+    inits = {}
+    for k, v in op.items():
+        if k.startswith("phi_") and not k.endswith(("_eta", "_learn_flag")):
+            inits[k] = np.fromstring(str(v), sep=",")
+    moved = []
+    for r in rows:
+        for pname, init in inits.items():
+            eta = float(op.get(f"{pname}_eta", 0))
+            if eta == 0 or not op.get(f"{pname}_learn_flag", True):
+                continue
+            for ci, iv in enumerate(init):
+                fv = r.get(f"{pname}_{ci}")
+                if fv is None:
+                    continue
+                denom = max(abs(iv), 1e-6)
+                moved.append(abs(fv - iv) / denom >= stall_rel)
+    return bool(moved) and not any(moved)
+
+
+def check_x0_contraction(run_dir):
+    """Parse the post-chain trace summary's x0_std column (restore.py
+    _log_trace_summary). Healthy chains contract from the early-chain
+    maximum toward the prior's scene scale by mid-chain (VALIDATION.md
+    3b-iv). Returns (ok, detail)."""
+    log = os.path.join(run_dir, "log.txt")
+    if not os.path.exists(log):
+        return True, "no log"
+    with open(log) as f:
+        vals = [float(m) for m in re.findall(r"x0_std=([\d.eE+-]+)", f.read())]
+    if len(vals) < 4:
+        return True, "no x0_std telemetry"
+    n = len(vals)
+    early_max = max(vals[: max(2, n // 4)])
+    mid = vals[n // 2]
+    ok = np.isfinite(vals).all() and mid <= early_max * 0.95
+    return bool(ok), f"early_max={early_max:.3f} mid={mid:.3f}"
+
+
+def score_run(run_dir, sim_dir, image_size=256):
+    """PSNR/SSIM + recovered-phi MAE via tools/evaluate.py (prints JSON)."""
+    rgb = os.path.join(run_dir, "single_images", "rgb")
+    if not os.path.isdir(rgb):
+        return {"error": "no outputs"}
+    cmd = [
+        sys.executable, os.path.join(TOOLS, "evaluate.py"),
+        "--results", rgb, "--gt", os.path.join(sim_dir, "gt_rgb"),
+        "--resize-gt", str(image_size),
+    ]
+    manifest = os.path.join(sim_dir, "manifest.json")
+    if os.path.exists(manifest):
+        cmd += ["--manifest", manifest, "--run", run_dir]
+    out = sh(cmd, check=False)
+    m = re.search(r"\{.*\}", out, re.DOTALL)
+    return json.loads(m.group(0)) if m else {"error": "no score parsed"}
+
+
+def find_run_dir(save_dir):
+    """The pipeline returns its run dir; when driven by CLI we find the
+    newest rgb dir under save_dir."""
+    hits = []
+    for root, dirs, files in os.walk(save_dir):
+        if os.path.basename(root) == "single_images":
+            hits.append(os.path.dirname(root))
+    return max(hits, key=os.path.getmtime) if hits else None
+
+
+# ------------------------------------------------------------------- main
+
+def run_preset(name, base_cfg, ctx, report):
+    """Stage 3/4 worker: run one preset through the production pipeline,
+    health-check it, auto-retry with adam on a phi stall, score it."""
+    from osmosis_tpu.pipelines import run_restoration
+
+    cfg, path = make_preset_cfg(base_cfg, name, **ctx)
+    run_dir = run_restoration(path)
+    entry = {"config": path, "run_dir": run_dir}
+
+    size = (ctx["tiny_unet"] or {}).get("image_size", 256)
+    stalled = check_phi_stall(cfg, run_dir)
+    if stalled and cfg["measurement"]["operator"].get("optimizer") != "adam":
+        print(f"[runbook] {name}: phi stall detected -> retrying with adam")
+        cfg2, path2 = make_preset_cfg(base_cfg, name, optimizer="adam", **ctx)
+        run_dir2 = run_restoration(path2)
+        entry.update(phi_stall_sgd=True, adam_run_dir=run_dir2)
+        s1 = score_run(run_dir, ctx["sim_dir"], size)
+        s2 = score_run(run_dir2, ctx["sim_dir"], size)
+        if s2.get("psnr_mean", -1) > s1.get("psnr_mean", -1):
+            entry.update(score=s2, kept="adam", score_sgd=s1)
+            run_dir = run_dir2
+        else:
+            entry.update(score=s1, kept="sgd", score_adam=s2)
+    else:
+        entry["score"] = score_run(run_dir, ctx["sim_dir"], size)
+
+    ok, detail = check_x0_contraction(run_dir)
+    entry["x0_std_contraction"] = {"ok": ok, "detail": detail}
+    if not ok:
+        print(f"[runbook] WARNING {name}: x0_std did not contract ({detail}) "
+              "— off-manifold chain; see VALIDATION.md 3b-iv probe ladder")
+    report["presets"][name] = entry
+    return entry
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", default=None, help="osmosis_outdoor.pt")
+    ap.add_argument("--gt-rgb", default=None, help="clean RGB dir (e.g. NYUv2)")
+    ap.add_argument("--gt-depth", default=None, help="uint16 depth dir")
+    ap.add_argument("--sim-dir", default=None,
+                    help="pre-built simulation set (input/gt_rgb/gt_depth)")
+    ap.add_argument("--out", default="runbook_results")
+    ap.add_argument("--stop-after", type=int, default=5,
+                    help="images per preset (full protocol: -1 = all)")
+    ap.add_argument("--presets", default="reference,fast,turbo,x0,hybrid")
+    ap.add_argument("--tiny", action="store_true",
+                    help="harness self-test: tiny random checkpoint + toy scenes")
+    args = ap.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+    report = {"checkpoint": args.checkpoint, "presets": {}}
+    base_cfg = _load_cfg(os.path.join(REPO, "configs",
+                                      "osmosis_simulation_sample_config.yaml"))
+    tiny_unet = None
+
+    if args.tiny:
+        # tiny self-test runs host-side (flip inside the interpreter; the
+        # axon sitecustomize ignores the env var — CLAUDE.md)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        # tiny self-test: random torch ckpt at a small arch + toy scenes
+        ckpt = os.path.join(args.out, "tiny_random.msgpack")
+        sh([sys.executable, os.path.join(TOOLS, "validate_checkpoint.py"),
+            "--tiny", "--skip-sample", "--out", ckpt],
+           log_path=os.path.join(args.out, "stage1_convert.log"))
+        tiny_unet = dict(image_size=32, num_channels=32, num_res_blocks=1,
+                         channel_mult="1,2", attention_resolutions="8",
+                         num_head_channels=16)
+        base_cfg["diffusion"].update(sampler="ddim", timestep_respacing="ddim5")
+        base_cfg["sample_pattern"]["n_iter"] = 2
+        args.checkpoint = ckpt
+        if not args.sim_dir:
+            args.sim_dir = os.path.join(args.out, "sim")
+            sh([sys.executable, os.path.join(TOOLS, "simulate_degraded.py"),
+                "--out", args.sim_dir, "--synth", "2", "--size", "32",
+                "--operator", "underwater_physical"],
+               log_path=os.path.join(args.out, "stage2_simulate.log"))
+    else:
+        if not args.checkpoint or not os.path.exists(args.checkpoint):
+            ap.error("--checkpoint is required (or use --tiny for the self-test)")
+        # Stage 1: convert + activation parity (fails loudly on mismatch)
+        ckpt_ms = os.path.join(args.out, "osmosis_outdoor.msgpack")
+        out = sh([sys.executable, os.path.join(TOOLS, "validate_checkpoint.py"),
+                  "--checkpoint", args.checkpoint, "--skip-sample",
+                  "--out", ckpt_ms],
+                 log_path=os.path.join(args.out, "stage1_convert.log"))
+        report["activation_parity"] = out.splitlines()[-3:]
+        args.checkpoint = ckpt_ms
+
+        # Stage 2: simulation set (paper protocol, README.md:93-106)
+        if not args.sim_dir:
+            if not (args.gt_rgb and args.gt_depth):
+                ap.error("need --sim-dir or --gt-rgb/--gt-depth")
+            args.sim_dir = os.path.join(args.out, "sim")
+            sh([sys.executable, os.path.join(TOOLS, "simulate_degraded.py"),
+                "--out", args.sim_dir, "--gt-rgb", args.gt_rgb,
+                "--gt-depth", args.gt_depth, "--size", "256",
+                "--operator", "underwater_physical"],
+               log_path=os.path.join(args.out, "stage2_simulate.log"))
+
+    ctx = dict(checkpoint=args.checkpoint, sim_dir=args.sim_dir,
+               out_dir=args.out, stop_after=args.stop_after,
+               tiny_unet=tiny_unet)
+
+    # Stages 3+4: reference preset then sign-off sweeps
+    for name in [p.strip() for p in args.presets.split(",") if p.strip()]:
+        run_preset(name, base_cfg, ctx, report)
+
+    with open(os.path.join(args.out, "RUNBOOK_REPORT.json"), "w") as f:
+        json.dump(report, f, indent=2, default=str)
+    lines = ["# Real-weights runbook report", ""]
+    lines.append(f"checkpoint: `{report['checkpoint']}`")
+    lines.append("")
+    lines.append("| preset | PSNR | SSIM | phi MAE | x0_std contracts | notes |")
+    lines.append("|---|---|---|---|---|---|")
+    for name, e in report["presets"].items():
+        s = e.get("score", {})
+        notes = []
+        if e.get("phi_stall_sgd"):
+            notes.append(f"phi stalled on sgd; kept {e['kept']}")
+        lines.append(
+            f"| {name} | {s.get('psnr_mean', 'n/a')} | "
+            f"{s.get('ssim_mean', 'n/a')} | {s.get('phi_mae', 'n/a')} | "
+            f"{e['x0_std_contraction']['ok']} | {'; '.join(notes) or '-'} |"
+        )
+    lines += ["", "Paper protocol: PSNR/SSIM vs GT on the NYUv2-simulated set "
+              "(reference README.md:93-106). Compare against the paper's "
+              "table 1 for parity sign-off."]
+    with open(os.path.join(args.out, "RUNBOOK_REPORT.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
