@@ -331,6 +331,7 @@ def main():
                 "--operator", "underwater_physical"],
                log_path=os.path.join(args.out, "stage2_simulate.log"))
 
+    report["checkpoint"] = args.checkpoint  # post-convert msgpack path
     ctx = dict(checkpoint=args.checkpoint, sim_dir=args.sim_dir,
                out_dir=args.out, stop_after=args.stop_after,
                tiny_unet=tiny_unet)
