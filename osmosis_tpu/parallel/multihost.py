@@ -51,6 +51,22 @@ def initialize(
     if local_device_ids is not None:
         kw["local_device_ids"] = list(local_device_ids)
     jax.distributed.initialize(**kw)
+    # Force backend creation NOW, while every rank is still inside the
+    # coordinator-connect window: this blocks on the cross-process topology
+    # exchange (minutes-scale timeout), re-synchronizing the ranks.
+    jax.device_count()
+    if jax.process_count() > 1:
+        # Then immediately run one trivial collective. The CPU backend's Gloo
+        # context is created lazily at the FIRST collective, with a fixed 30 s
+        # key-value rendezvous; if that first collective is the real workload,
+        # per-rank compile skew (minutes on a loaded 1-core host) races the
+        # window and bring-up intermittently dies with "Gloo context
+        # initialization failed: GetKeyValue() timed out". A zero-size
+        # allgather here compiles in well under a second on every rank, so the
+        # context is established while skew is tiny and is reused afterwards.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.process_allgather(np.zeros((), np.float32))
 
 
 def is_multihost() -> bool:
