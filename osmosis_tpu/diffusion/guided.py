@@ -192,6 +192,8 @@ def guided_sample_loop(
     phi_init: Optional[Dict[str, jax.Array]] = None,
     opt_state_init: Optional[dict] = None,
     eta_scale: Optional[jax.Array] = None,
+    ts: Optional[jax.Array] = None,
+    x0_buf_init: Optional[jax.Array] = None,
 ) -> GuidedResult:
     """Run the full guided reverse process. All arrays NHWC.
 
@@ -208,6 +210,17 @@ def guided_sample_loop(
     runtime scalar multiplied into every phi optimizer step — the
     ``global_eta_scale`` knob for damping phi drift in warm-started
     global_N>1 chains.
+
+    ``ts``/``x0_buf_init`` (extension; both default to the full chain): run
+    only the given descending slice of chain timesteps, starting from
+    ``x_init`` as the segment's incoming x_t and ``x0_buf_init`` as the
+    incoming snapshot buffer. Per-step randomness is keyed on the timestep
+    VALUE (``fold_in(key, t)``), so chaining segments with the same base key
+    reproduces the unsegmented chain bitwise — this is the relay-safe
+    mid-chain progress mechanism (``progress_segments`` in restore.py): N
+    jitted segment calls with a tiny host fetch between them, instead of the
+    host callbacks the axon relay cannot run. Not supported for the ltsp
+    sampler (its PLMS eps history is not part of the chained carry).
     """
     if progress_every:
         # the axon PJRT relay has no host send/recv support — degrade to
@@ -475,7 +488,11 @@ def guided_sample_loop(
     if record_every is not None:
         rec_steps = record_steps_for(T, record_every, extra=(T - 1, 999))
         slot_map = jnp.asarray(make_slot_map(T, rec_steps))
-        buf_x0 = jnp.zeros((len(rec_steps),) + x_init.shape, x_init.dtype)
+        if x0_buf_init is not None:
+            # segment chaining: earlier segments' snapshots carry through
+            buf_x0 = jnp.asarray(x0_buf_init)
+        else:
+            buf_x0 = jnp.zeros((len(rec_steps),) + x_init.shape, x_init.dtype)
     else:
         rec_steps, slot_map, buf_x0 = (), None, None
 
@@ -580,15 +597,24 @@ def guided_sample_loop(
     def step(carry, t):
         return _single_step(carry, t, gcfg.gradient_x_prev)
 
-    ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+    if ts is None:
+        ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+    else:
+        if ltsp:
+            raise NotImplementedError(
+                "segmented execution (ts=) is not supported for the ltsp "
+                "sampler — its PLMS eps history does not chain across segments"
+            )
+        ts = jnp.asarray(ts, jnp.int32)
+    seg_len = int(ts.shape[0])  # == T for the full (unsegmented) chain
     carry0 = (x_init, phi0, opt_state0, jnp.zeros_like(x_init), buf_x0)
     # perf knob scan_unroll>1 unrolls scan bodies so XLA can schedule one
     # step's boundary layout copies behind the previous step's convs
-    # (perf experiment knob; requires T % unroll == 0)
+    # (perf experiment knob; requires seg_len % unroll == 0)
     from .. import perf as _perf
 
     unroll = int(_perf.get("scan_unroll"))
-    if T % max(unroll, 1) != 0:
+    if seg_len % max(unroll, 1) != 0:
         unroll = 1
 
     # ---- hybrid gradient schedule (x_prev_every=k > 1) ---------------------
@@ -612,7 +638,10 @@ def guided_sample_loop(
             raise ValueError(
                 f"x_prev_every={kk} must be < the chain length ({T} steps)"
             )
-        nblk, rem = T // kk, T % kk
+        # block grouping runs over THIS segment's steps; segmented callers
+        # keep non-final segment lengths divisible by kk so the global
+        # full:cheap step placement matches the unsegmented chain exactly
+        nblk, rem = seg_len // kk, seg_len % kk
 
         def block_step(carry, t_vec, size):
             ys_list = []

@@ -23,7 +23,7 @@ from .. import config as C
 from ..data import datasets as D
 from ..data import postprocess as P
 from ..data import transforms as TR
-from ..diffusion.guided import GuidanceConfig, guided_sample_loop
+from ..diffusion.guided import GuidanceConfig, GuidedResult, guided_sample_loop
 from ..diffusion.sampler import SamplerConfig
 from ..diffusion.schedules import make_schedule
 from ..guidance.noise import get_noiser
@@ -276,6 +276,104 @@ def run_restoration(
 
     run_fn = jax.jit(_run)
 
+    # progress_segments: N (extension, default off == one scan per chain):
+    # split the chain into N jitted segment calls with a tiny host fetch
+    # between them — live mid-chain progress on platforms where host
+    # callbacks don't run (the axon relay disables progress_every,
+    # guided.py). Numerics are EXACT: per-step noise is keyed on the
+    # timestep value, phi/optimizer/snapshot state chains through segment
+    # boundaries (tests/test_guided_loop.py pins bitwise equality). Cost is
+    # one dispatch + scalar fetch per boundary (~0.1 s each through the
+    # relay — keep N modest, e.g. 4-10 on a 30 s chain).
+    progress_segments = int(getattr(args, "progress_segments", 0) or 0)
+    if progress_segments > 1 and scfg.sampler == "ltsp":
+        logger.log(
+            "progress_segments is not supported for the ltsp sampler "
+            "(PLMS eps history does not chain across segments) — running "
+            "the chain as one scan"
+        )
+        progress_segments = 0
+    if progress_segments > 1 and batch_size and batch_size > 1:
+        logger.log(
+            "progress_segments applies to the serial (batch_size 1) path; "
+            "the fleet path prints its per-chain trace summary instead"
+        )
+
+    def _run_seg(params_, x_init, y, key, phi0, opt0, eta_s, ts_seg, buf0):
+        def model_fn(x, t):
+            return model.apply(params_, x, t)
+
+        return guided_sample_loop(
+            model_fn, schedule, x_init, y, key, operator, gcfg, scfg,
+            sample_pattern=sample_pattern, record_every=record_every,
+            phi_init=phi0, opt_state_init=opt0, eta_scale=eta_s,
+            ts=ts_seg, x0_buf_init=buf0,
+        )
+
+    run_seg_fn = jax.jit(_run_seg)
+
+    def _segment_lengths(T):
+        """Non-final segments stay divisible by the hybrid block width so the
+        full-gradient step placement matches the unsegmented chain."""
+        k_align = (
+            gcfg.x_prev_every
+            if (gcfg.gradient_x_prev and gcfg.x_prev_every > 1) else 1
+        )
+        base = max(k_align, (T // progress_segments) // k_align * k_align)
+        n_full = max(0, T // base - 1)
+        lengths = [base] * n_full + [T - base * n_full]
+        return lengths
+
+    def _run_chain(x_start, y, key, phi0, opt0, eta_s, logger=None):
+        """One guided chain — a single compiled scan by default, or N chained
+        segment calls when progress_segments > 1 (identical results)."""
+        if progress_segments <= 1:
+            return run_fn(params, x_start, y, key, phi0, opt0, eta_s)
+        T = schedule.num_timesteps
+        full_ts = np.arange(T - 1, -1, -1, dtype=np.int32)
+        x_carry, phi_c, opt_c, buf_c = x_start, phi0, opt0, None
+        pieces, done, res = [], 0, None
+        for L in _segment_lengths(T):
+            ts_seg = jnp.asarray(full_ts[done:done + L])
+            res = run_seg_fn(
+                params, x_carry, y, key, phi_c, opt_c, eta_s, ts_seg, buf_c,
+            )
+            x_carry, phi_c, opt_c = res.sample, res.phi, res.opt_state
+            buf_c = res.x0_snapshots
+            pieces.append(res)
+            done += L
+            if logger is not None:
+                # tiny fetches (last trace row) — this sync point IS the
+                # progress mechanism
+                row = (
+                    f"  progress {done:4d}/{T} steps (t={int(full_ts[done - 1])})"
+                    f" loss={float(np.asarray(res.sep_loss[-1]).mean()):9.3f}"
+                )
+                if res.x0_std_trace is not None:
+                    row += f" x0_std={float(np.asarray(res.x0_std_trace[-1]).mean()):.3f}"
+                phi_vals = {
+                    k: np.round(np.asarray(v[-1, 0]).astype(np.float64), 3).tolist()
+                    for k, v in res.phi_trace.items()
+                }
+                if phi_vals:
+                    row += f" {phi_vals}"
+                logger.log(row)
+        cat = lambda get: jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *[get(p) for p in pieces]
+        )
+        return GuidedResult(
+            sample=res.sample, pred_xstart=res.pred_xstart, phi=res.phi,
+            sep_loss=cat(lambda p: p.sep_loss),
+            phi_trace=cat(lambda p: p.phi_trace),
+            aux_trace=cat(lambda p: p.aux_trace),
+            x0_std_trace=(
+                cat(lambda p: p.x0_std_trace)
+                if res.x0_std_trace is not None else None
+            ),
+            opt_state=res.opt_state, x0_snapshots=res.x0_snapshots,
+            snapshot_steps=res.snapshot_steps,
+        )
+
     # cold-start phi / optimizer state (re-used as the warm-start carrier for
     # global_N>1 — the reference keeps the operator alive across global
     # iterations, osmosis_sampling.py:146-163 vs :191)
@@ -451,9 +549,9 @@ def run_restoration(
                     else jnp.float32(global_eta_scale ** global_ii)
                 )
                 with prof.phase("sample"):
-                    res = run_fn(
-                        params, x_start, y, jax.random.fold_in(key, 1),
-                        phi_carry, opt_carry, eta_s,
+                    res = _run_chain(
+                        x_start, y, jax.random.fold_in(key, 1),
+                        phi_carry, opt_carry, eta_s, logger=logger,
                     )
                 # device arrays thread into the next global iteration without
                 # a host round-trip; the save path fetches its own copy

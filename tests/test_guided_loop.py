@@ -764,3 +764,89 @@ def test_hybrid_grad_misconfig_raises():
     # period >= chain length leaves no full-gradient cadence to schedule
     with pytest.raises(ValueError, match="chain length"):
         run(dict(COND_PARAMS, x_prev_every=T_STEPS))
+
+
+# ---- segmented execution (ts= / x0_buf_init=) -------------------------------
+# The relay-safe mid-chain progress mechanism (restore.py progress_segments):
+# per-step noise is keyed on the timestep VALUE, so chaining segment calls
+# must reproduce the single-scan chain BITWISE.
+
+def _run_segmented(seg_lengths, gcfg, record_every=None):
+    sch = make_schedule("linear", T_STEPS)
+    op = get_operator("underwater_physical_revised", batch_size=2, **OP_KW)
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(rng.standard_normal((2, HW, HW, 4)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1, 1, (2, HW, HW, 3)).astype(np.float32))
+    key = jax.random.key(11)
+    kw = dict(sample_pattern=PATTERN, record_every=record_every)
+
+    full = guided_sample_loop(
+        _fake_model_jax, sch, x0, y, key, op, gcfg, SamplerConfig(), **kw
+    )
+
+    full_ts = np.arange(T_STEPS - 1, -1, -1, dtype=np.int32)
+    x_c, phi_c, opt_c, buf_c, done = x0, None, None, None, 0
+    pieces = []
+    for L in seg_lengths:
+        res = guided_sample_loop(
+            _fake_model_jax, sch, x_c, y, key, op, gcfg, SamplerConfig(),
+            phi_init=phi_c, opt_state_init=opt_c,
+            ts=jnp.asarray(full_ts[done:done + L]), x0_buf_init=buf_c, **kw
+        )
+        x_c, phi_c, opt_c, buf_c = res.sample, res.phi, res.opt_state, res.x0_snapshots
+        pieces.append(res)
+        done += L
+    return full, pieces
+
+
+def _assert_segments_match(full, pieces):
+    last = pieces[-1]
+    np.testing.assert_array_equal(np.asarray(full.sample), np.asarray(last.sample))
+    np.testing.assert_array_equal(
+        np.asarray(full.pred_xstart), np.asarray(last.pred_xstart))
+    for k in full.phi:
+        np.testing.assert_array_equal(np.asarray(full.phi[k]), np.asarray(last.phi[k]))
+        cat = np.concatenate([np.asarray(p.phi_trace[k]) for p in pieces])
+        np.testing.assert_array_equal(np.asarray(full.phi_trace[k]), cat)
+    np.testing.assert_array_equal(
+        np.asarray(full.sep_loss),
+        np.concatenate([np.asarray(p.sep_loss) for p in pieces]))
+    np.testing.assert_array_equal(
+        np.asarray(full.x0_std_trace),
+        np.concatenate([np.asarray(p.x0_std_trace) for p in pieces]))
+
+
+def test_segmented_chain_bitwise_equal():
+    gcfg = GuidanceConfig.from_config(
+        "osmosis", COND_PARAMS, PATTERN,
+        {"aux_loss": {"avrg_loss": 0.5, "val_loss": 20.0}},
+    )
+    full, pieces = _run_segmented([20, 20, 10], gcfg, record_every=20)
+    _assert_segments_match(full, pieces)
+    # snapshot buffer carries across boundaries: identical recorded process
+    assert full.snapshot_steps == pieces[-1].snapshot_steps
+    np.testing.assert_array_equal(
+        np.asarray(full.x0_snapshots), np.asarray(pieces[-1].x0_snapshots))
+
+
+def test_segmented_hybrid_chain_bitwise_equal():
+    """Segment boundaries aligned to the hybrid block width keep the global
+    full:cheap gradient placement — results stay bitwise equal."""
+    gcfg = GuidanceConfig.from_config(
+        "osmosis", dict(COND_PARAMS, x_prev_every=2), PATTERN, None,
+    )
+    full, pieces = _run_segmented([20, 20, 10], gcfg)
+    _assert_segments_match(full, pieces)
+
+
+def test_segmented_ltsp_raises():
+    sch = make_schedule("linear", T_STEPS)
+    op = get_operator("underwater_physical_revised", batch_size=1, **OP_KW)
+    gcfg = GuidanceConfig.from_config("osmosis", COND_PARAMS, PATTERN, None)
+    with pytest.raises(NotImplementedError, match="segmented"):
+        guided_sample_loop(
+            _fake_model_jax, sch, jnp.zeros((1, HW, HW, 4)),
+            jnp.zeros((1, HW, HW, 3)), jax.random.key(0), op, gcfg,
+            SamplerConfig(sampler="ltsp"), sample_pattern=PATTERN,
+            ts=jnp.arange(9, -1, -1, dtype=jnp.int32),
+        )

@@ -404,3 +404,33 @@ def test_global_eta_scale_pipeline(tmp_path):
     lines = phi_lines(out)
     assert len(lines) == 4
     assert lines[0] != lines[1]
+
+
+def test_progress_segments_matches_single_scan(tmp_path):
+    """progress_segments: N (extension): the chain runs as N jitted segment
+    calls with a progress line after each — outputs must be IDENTICAL to the
+    single-scan run (guided.py keys per-step noise on the timestep value, so
+    segmentation is bitwise-neutral)."""
+    import yaml as _y
+
+    from osmosis_tpu.pipelines import run_restoration
+
+    root = str(tmp_path / "imgs")
+    _write_images(root, n=1)
+
+    out_plain = run_restoration(_fleet_cfg(tmp_path, root, 1, subdir="onescan"))
+
+    p = _fleet_cfg(tmp_path, root, 1, subdir="segmented")
+    cfg = _y.safe_load(open(p))
+    cfg["progress_segments"] = 4
+    _y.dump(cfg, open(p, "w"))
+    out_seg = run_restoration(p)
+
+    a = np.asarray(Image.open(pjoin(out_plain, "single_images", "rgb", "img_0.png")))
+    b = np.asarray(Image.open(pjoin(out_seg, "single_images", "rgb", "img_0.png")))
+    assert np.array_equal(a, b)
+    log = open(pjoin(out_seg, "log.txt")).read()
+    # one progress row per segment, and the final row covers the whole chain
+    T = DIFFUSION["steps"]
+    assert log.count("  progress ") == 4
+    assert f"progress   {T}/{T} steps (t=0)" in log
