@@ -141,3 +141,49 @@ def test_turbo_preset_parses_and_respaces():
     for k in ("save_dir", "manual_seed", "rgb_guidance", "save_singles",
               "save_grids", "record_process", "record_every"):
         assert hasattr(args, k), f"turbo preset missing run key {k}"
+
+
+def test_x0_preset_parses():
+    """configs/osmosis_sample_x0_config.yaml: the x0-gradient preset (66.1
+    steps/s measured, PERF.md round 7) — halved guidance scale per the
+    VALIDATION.md 3e law, gradient_x_prev False, ddim200."""
+    cfg = os.path.join(os.path.dirname(__file__), "..", "configs",
+                       "osmosis_sample_x0_config.yaml")
+    args = C.arguments_from_file(cfg)
+    assert args.diffusion["timestep_respacing"] == "ddim200"
+    p = args.conditioning["params"]
+    assert p["gradient_x_prev"] is False
+    assert p["scale"] == "3.5,3.5,3.5,0.45"  # halved fast-preset scale
+    gcfg = GuidanceConfig.from_config(
+        args.conditioning["method"], p, args.sample_pattern, args.aux_loss)
+    assert gcfg.gradient_x_prev is False and gcfg.x_prev_every == 1
+    op = args.measurement["operator"]
+    assert float(op["phi_a_eta"]) == 5.0e-5  # 5x-compensated, as fast
+    for k in ("save_dir", "manual_seed", "rgb_guidance", "save_singles",
+              "save_grids", "record_process", "record_every"):
+        assert hasattr(args, k), f"x0 preset missing run key {k}"
+
+
+def test_hybrid_preset_parses():
+    """configs/osmosis_sample_hybrid_config.yaml: the k=4 hybrid gradient
+    schedule preset (52.1 steps/s, PERF.md) — FULL fast-preset guidance
+    scale, x_prev_every 4, ddim200 (respacing divisible by k so no
+    epilogue block)."""
+    cfg = os.path.join(os.path.dirname(__file__), "..", "configs",
+                       "osmosis_sample_hybrid_config.yaml")
+    args = C.arguments_from_file(cfg)
+    assert args.diffusion["timestep_respacing"] == "ddim200"
+    p = args.conditioning["params"]
+    assert p["gradient_x_prev"] is True
+    assert int(p["x_prev_every"]) == 4
+    assert p["scale"] == "7,7,7,0.9"  # full fast-preset scale (not halved)
+    gcfg = GuidanceConfig.from_config(
+        args.conditioning["method"], p, args.sample_pattern, args.aux_loss)
+    assert gcfg.x_prev_every == 4 and gcfg.gradient_x_prev is True
+    assert 200 % gcfg.x_prev_every == 0
+    op = args.measurement["operator"]
+    for k in ("phi_a_eta", "phi_b_eta", "phi_inf_eta"):
+        assert float(op[k]) == 5.0e-5
+    for k in ("save_dir", "manual_seed", "rgb_guidance", "save_singles",
+              "save_grids", "record_process", "record_every"):
+        assert hasattr(args, k), f"hybrid preset missing run key {k}"
