@@ -75,8 +75,10 @@ class GuidanceConfig:
     # (condition_methods.py:75 — params.get('gradient_x_prev', False))
     gradient_x_prev: bool = False
     # hybrid gradient schedule (framework extension, no reference analog):
-    # with gradient_x_prev=True, take the full x_prev gradient (UNet vjp)
-    # only every k-th chain step and the cheap x0-hat gradient on the rest —
+    # take the full x_prev gradient (UNet vjp) only every k-th chain step and
+    # the cheap x0-hat gradient on the rest — applies to the 'osmosis' path
+    # (requires gradient_x_prev: True) and the 'ps' DPS path (no flag
+    # needed: ps always differentiates wrt x_prev in the reference) —
     # interpolates between the full mode's quality and the x0 mode's ~2.1x
     # step rate (measured per-k numbers: PERF.md "hybrid gradient
     # schedule" section). 1 = every step full (exact reference
@@ -237,7 +239,14 @@ def guided_sample_loop(
         except Exception:
             pass
 
-    if gcfg.x_prev_every > 1 and not gcfg.gradient_x_prev:
+    if (
+        gcfg.x_prev_every > 1
+        and not gcfg.gradient_x_prev
+        and gcfg.method != "ps"
+    ):
+        # 'ps' needs no flag: the reference DPS conditioner ALWAYS takes the
+        # x_prev gradient (condition_methods.py:40), so x_prev_every alone
+        # defines its hybrid cadence
         raise ValueError(
             "x_prev_every > 1 requires gradient_x_prev: True — with "
             "gradient_x_prev: False every step already uses the x0 gradient"
@@ -440,14 +449,23 @@ def guided_sample_loop(
         )
 
     # ---- 'ps' (vanilla DPS rgb_guidance) step -----------------------------
-    def ps_step(x, phi, opt_state, t, tb, k):
+    # ``use_x_prev`` mirrors the osmosis step: True runs the reference
+    # semantics (grad wrt x_prev through the UNet, condition_methods.py:40);
+    # False is the cheap x0-hat gradient substep the hybrid schedule traces
+    # for chain steps s % k != 0 (the reference itself carries this variant
+    # as a commented-out line, condition_methods.py:41).
+    def ps_step(x, phi, opt_state, t, tb, k, use_x_prev=True):
         def x0_and_v(xp):
             mo = model_fn(xp, consts["model_timesteps"][tb])
             eps, v = split_model_output(mo, xp.shape[-1])
             x0 = process_xstart(predict_xstart(xp, tb, eps, consts, scfg), scfg)
             return x0, v
 
-        (x0, v), vjp_fn = jax.vjp(x0_and_v, x)
+        if use_x_prev:
+            (x0, v), vjp_fn = jax.vjp(x0_and_v, x)
+        else:
+            x0, v = x0_and_v(x)
+            vjp_fn = None
         logvar = model_log_variance(v, tb, consts, scfg)
         mean = posterior_mean(x0, x, tb, consts)
         out = {"mean": mean, "log_variance": logvar, "pred_xstart": x0}
@@ -480,8 +498,11 @@ def guided_sample_loop(
             )
 
         loss, g_x0 = jax.value_and_grad(loss_fn)(x0)
-        g_x = vjp_fn((g_x0, jnp.zeros_like(v)))[0]
-        x_t = sample - scale_bc * g_x
+        if use_x_prev:
+            g_used = vjp_fn((g_x0, jnp.zeros_like(v)))[0]
+        else:
+            g_used = g_x0
+        x_t = sample - scale_bc * g_used
         return x_t, x0, phi, opt_state, jnp.full((B,), loss), zero_aux
 
     # ---- recording buffers -------------------------------------------------
@@ -512,7 +533,9 @@ def guided_sample_loop(
             x_, phi_, st_, _, _, _ = c
             k = jax.random.fold_in(jax.random.fold_in(key, t), i)
             if gcfg.method == "ps":
-                x_t, x0, phi2, st2, sep, aux_vec = ps_step(x_, phi_, st_, t, tb, k)
+                x_t, x0, phi2, st2, sep, aux_vec = ps_step(
+                    x_, phi_, st_, t, tb, k, use_x_prev
+                )
                 return (x_t, phi2, st2, x0, sep, aux_vec)
             if always_guided:
                 upd = osmosis_guided(x_, phi_, st_, t, tb, use_x_prev)
@@ -595,7 +618,10 @@ def guided_sample_loop(
         return (x, phi, opt_state, x0, b_x0), ys
 
     def step(carry, t):
-        return _single_step(carry, t, gcfg.gradient_x_prev)
+        # 'ps' ignores gradient_x_prev — the reference DPS path always
+        # differentiates wrt x_prev (condition_methods.py:40)
+        use = True if gcfg.method == "ps" else gcfg.gradient_x_prev
+        return _single_step(carry, t, use)
 
     if ts is None:
         ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
@@ -627,12 +653,15 @@ def guided_sample_loop(
     # of T % k steps runs as one python-unrolled epilogue block (same
     # full-first structure); all shipped respacings with k in {2,4,5,8} have
     # no remainder.
-    hybrid = gcfg.gradient_x_prev and gcfg.x_prev_every > 1
+    hybrid = gcfg.x_prev_every > 1 and (
+        gcfg.gradient_x_prev or gcfg.method == "ps"
+    )
     if hybrid:
         kk = gcfg.x_prev_every
-        if gcfg.method == "ps" or ltsp:
+        if ltsp:
             raise NotImplementedError(
-                "x_prev_every>1 implements the 'osmosis' ddpm/ddim path"
+                "x_prev_every>1 implements the 'osmosis' and 'ps' ddpm/ddim "
+                "paths — not ltsp (its PLMS history assumes a uniform step)"
             )
         if kk >= T:
             raise ValueError(

@@ -317,7 +317,8 @@ def run_restoration(
         full-gradient step placement matches the unsegmented chain."""
         k_align = (
             gcfg.x_prev_every
-            if (gcfg.gradient_x_prev and gcfg.x_prev_every > 1) else 1
+            if (gcfg.x_prev_every > 1
+                and (gcfg.gradient_x_prev or gcfg.method == "ps")) else 1
         )
         base = max(k_align, (T // progress_segments) // k_align * k_align)
         n_full = max(0, T // base - 1)

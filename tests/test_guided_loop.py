@@ -766,6 +766,102 @@ def test_hybrid_grad_misconfig_raises():
         run(dict(COND_PARAMS, x_prev_every=T_STEPS))
 
 
+def _run_reference_ps_hybrid_intended(x0, y, k, scale):
+    """Intended semantics of x_prev_every=k on the 'ps' DPS path, expressed
+    in the reference's own p_sample_loop: the stock PosteriorSampling update
+    (grad wrt x_prev, condition_methods.py:40,246-251) on chain steps
+    s % k == 0, and the x0-hat gradient variant the reference itself carries
+    as a commented-out line (condition_methods.py:41) on the rest. The rgb
+    branch passes no time_index (gaussian_diffusion.py:300-306), so the
+    chain step is recovered with a per-call counter (local_M == 1 → exactly
+    one conditioning call per step)."""
+    import torch
+    from guided_diffusion.gaussian_diffusion import create_sampler
+    from guided_diffusion.measurements import get_noise, get_operator as ref_get_op
+    from guided_diffusion.condition_methods import PosteriorSampling
+
+    class HybridPS(PosteriorSampling):
+        _s = 0
+
+        def conditioning(self, x_prev, x_t, x_0_hat, measurement, **kwargs):
+            s, HybridPS._s = HybridPS._s, HybridPS._s + 1
+            if s % k == 0:
+                return super().conditioning(
+                    x_prev=x_prev, x_t=x_t, x_0_hat=x_0_hat,
+                    measurement=measurement, **kwargs)
+            difference = measurement - self.operator.forward(x_0_hat[:, 0:3])
+            loss = torch.linalg.norm(difference)
+            g = torch.autograd.grad(outputs=loss, inputs=x_0_hat)[0]
+            x_t = x_t - g * self.scale[None, ..., None, None]
+            return x_t, loss
+
+    sampler = create_sampler(
+        sampler="ddpm", steps=T_STEPS, noise_schedule="linear",
+        model_mean_type="epsilon", model_var_type="learned_range",
+        dynamic_threshold=False, clip_denoised=True, rescale_timesteps=False,
+        timestep_respacing="",
+    )
+    operator = ref_get_op(
+        name="rgb_guidance", device=torch.device("cpu"), batch_size=1)
+    cond = HybridPS(operator, get_noise(name="gaussian", sigma=0), scale=scale)
+    x_start = torch.from_numpy(x0.transpose(0, 3, 1, 2)).clone().requires_grad_()
+    img = sampler.p_sample_loop(
+        model=_fake_model_torch, x_start=x_start,
+        measurement=torch.from_numpy(y.transpose(0, 3, 1, 2)),
+        measurement_cond_fn=cond.conditioning,
+        record=False, save_root=None, pretrain_model="osmosis",
+        rgb_guidance=True, sample_pattern=PATTERN,
+    ).detach().numpy()
+    assert HybridPS._s == T_STEPS  # one conditioning call per chain step
+    return img
+
+
+# k=2 divides T_STEPS=50; k=3 exercises the epilogue remainder block
+@pytest.mark.parametrize("k", [2, 3])
+def test_ps_hybrid_grad_loop_parity(no_torch_noise, k):
+    """x_prev_every=k on the 'ps' conditioner: full-chain exactness against
+    an intended-semantics torch run, plus non-aliasing vs pure ps. No
+    gradient_x_prev flag is required — ps always differentiates wrt x_prev
+    in the reference, so the knob alone sets the hybrid cadence. Scale kept
+    small for the same chaos-floor reason as the osmosis hybrid test: the
+    unclipped x0 substeps amplify fp32 op-order perturbations (measured
+    4.3e-2 max drift at scale 3 vs 1.4e-5 at scale 0.5 over this chain)."""
+    import_reference()
+    rng = np.random.default_rng(31 + k)
+    x0 = rng.standard_normal((1, HW, HW, 4)).astype(np.float32)
+    y = rng.uniform(-1, 1, (1, HW, HW, 3)).astype(np.float32)
+    scale = "0.5,0.5,0.5,0.05"
+
+    ref_img = _run_reference_ps_hybrid_intended(x0, y, k, scale)
+
+    sch = make_schedule("linear", T_STEPS)
+    op = get_operator("rgb_guidance", batch_size=1)
+    gcfg = GuidanceConfig.from_config(
+        "ps", dict(scale=scale, x_prev_every=k), PATTERN, None
+    )
+    assert gcfg.x_prev_every == k and gcfg.gradient_x_prev is False
+    res = guided_sample_loop(
+        _fake_model_jax, sch, jnp.asarray(x0), jnp.asarray(y),
+        jax.random.key(0), op, gcfg, SamplerConfig(clip_denoised=True),
+        sample_pattern=PATTERN, deterministic=True,
+    )
+    assert np.asarray(res.sep_loss).shape == (T_STEPS, 1)
+    np.testing.assert_allclose(
+        np.asarray(res.sample).transpose(0, 3, 1, 2), ref_img,
+        rtol=1e-3, atol=2e-4,
+    )
+    # must not silently alias the pure (k=1) ps chain
+    gp = GuidanceConfig.from_config(
+        "ps", dict(scale=scale, gradient_x_prev=True), PATTERN, None
+    )
+    rp = guided_sample_loop(
+        _fake_model_jax, sch, jnp.asarray(x0), jnp.asarray(y),
+        jax.random.key(0), op, gp, SamplerConfig(clip_denoised=True),
+        sample_pattern=PATTERN, deterministic=True,
+    )
+    assert np.abs(np.asarray(res.sample) - np.asarray(rp.sample)).max() > 1e-6
+
+
 # ---- segmented execution (ts= / x0_buf_init=) -------------------------------
 # The relay-safe mid-chain progress mechanism (restore.py progress_segments):
 # per-step noise is keyed on the timestep VALUE, so chaining segment calls
