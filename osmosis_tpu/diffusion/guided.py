@@ -137,6 +137,9 @@ class GuidedResult:
     # reference, osmosis_sampling.py:146-163 vs :191)
     opt_state: Optional[dict] = None
     x0_snapshots: Optional[jax.Array] = None  # [K, B, H, W, 4]
+    # ltsp only: final PLMS eps history (most-recent first) — thread back in
+    # as eps_hist_init to chain segmented ltsp runs bitwise
+    eps_hist: Optional[Tuple[jax.Array, ...]] = None
     snapshot_steps: Tuple[int, ...] = ()      # static: timestep of each slot
 
     @property
@@ -150,7 +153,7 @@ jax.tree_util.register_dataclass(
     GuidedResult,
     data_fields=[
         "sample", "pred_xstart", "phi", "sep_loss", "phi_trace", "aux_trace",
-        "x0_std_trace", "opt_state", "x0_snapshots",
+        "x0_std_trace", "opt_state", "x0_snapshots", "eps_hist",
     ],
     meta_fields=["snapshot_steps"],
 )
@@ -196,6 +199,7 @@ def guided_sample_loop(
     eta_scale: Optional[jax.Array] = None,
     ts: Optional[jax.Array] = None,
     x0_buf_init: Optional[jax.Array] = None,
+    eps_hist_init: Optional[Tuple[jax.Array, ...]] = None,
 ) -> GuidedResult:
     """Run the full guided reverse process. All arrays NHWC.
 
@@ -221,8 +225,9 @@ def guided_sample_loop(
     reproduces the unsegmented chain bitwise — this is the relay-safe
     mid-chain progress mechanism (``progress_segments`` in restore.py): N
     jitted segment calls with a tiny host fetch between them, instead of the
-    host callbacks the axon relay cannot run. Not supported for the ltsp
-    sampler (its PLMS eps history is not part of the chained carry).
+    host callbacks the axon relay cannot run. For the ltsp sampler also pass
+    ``eps_hist_init`` (the previous segment's ``GuidedResult.eps_hist``) so
+    the PLMS history chains across the boundary.
     """
     if progress_every:
         # the axon PJRT relay has no host send/recv support — degrade to
@@ -626,11 +631,6 @@ def guided_sample_loop(
     if ts is None:
         ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
     else:
-        if ltsp:
-            raise NotImplementedError(
-                "segmented execution (ts=) is not supported for the ltsp "
-                "sampler — its PLMS eps history does not chain across segments"
-            )
         ts = jnp.asarray(ts, jnp.int32)
     seg_len = int(ts.shape[0])  # == T for the full (unsegmented) chain
     carry0 = (x_init, phi0, opt_state0, jnp.zeros_like(x_init), buf_x0)
@@ -701,9 +701,12 @@ def guided_sample_loop(
             )
         x, phi, opt_state, x0_final, buf_x0 = carry
     elif ltsp:
-        zeros3 = tuple(jnp.zeros_like(x_init) for _ in range(3))
-        carry0 = carry0 + (zeros3,)
-        (x, phi, opt_state, x0_final, buf_x0, _), ys = jax.lax.scan(
+        if eps_hist_init is not None:
+            hist0 = tuple(jnp.asarray(e) for e in eps_hist_init)
+        else:
+            hist0 = tuple(jnp.zeros_like(x_init) for _ in range(3))
+        carry0 = carry0 + (hist0,)
+        (x, phi, opt_state, x0_final, buf_x0, eps_hist_f), ys = jax.lax.scan(
             step, carry0, ts, unroll=unroll
         )
     else:
@@ -721,5 +724,6 @@ def guided_sample_loop(
         x0_std_trace=ys["x0_std"],
         opt_state=opt_state,
         x0_snapshots=buf_x0,
+        eps_hist=eps_hist_f if ltsp else None,
         snapshot_steps=tuple(rec_steps),
     )

@@ -286,20 +286,14 @@ def run_restoration(
     # one dispatch + scalar fetch per boundary (~0.1 s each through the
     # relay — keep N modest, e.g. 4-10 on a 30 s chain).
     progress_segments = int(getattr(args, "progress_segments", 0) or 0)
-    if progress_segments > 1 and scfg.sampler == "ltsp":
-        logger.log(
-            "progress_segments is not supported for the ltsp sampler "
-            "(PLMS eps history does not chain across segments) — running "
-            "the chain as one scan"
-        )
-        progress_segments = 0
     if progress_segments > 1 and batch_size and batch_size > 1:
         logger.log(
             "progress_segments applies to the serial (batch_size 1) path; "
             "the fleet path prints its per-chain trace summary instead"
         )
 
-    def _run_seg(params_, x_init, y, key, phi0, opt0, eta_s, ts_seg, buf0):
+    def _run_seg(params_, x_init, y, key, phi0, opt0, eta_s, ts_seg, buf0,
+                 eps0):
         def model_fn(x, t):
             return model.apply(params_, x, t)
 
@@ -307,7 +301,7 @@ def run_restoration(
             model_fn, schedule, x_init, y, key, operator, gcfg, scfg,
             sample_pattern=sample_pattern, record_every=record_every,
             phi_init=phi0, opt_state_init=opt0, eta_scale=eta_s,
-            ts=ts_seg, x0_buf_init=buf0,
+            ts=ts_seg, x0_buf_init=buf0, eps_hist_init=eps0,
         )
 
     run_seg_fn = jax.jit(_run_seg)
@@ -332,15 +326,16 @@ def run_restoration(
             return run_fn(params, x_start, y, key, phi0, opt0, eta_s)
         T = schedule.num_timesteps
         full_ts = np.arange(T - 1, -1, -1, dtype=np.int32)
-        x_carry, phi_c, opt_c, buf_c = x_start, phi0, opt0, None
+        x_carry, phi_c, opt_c, buf_c, eps_c = x_start, phi0, opt0, None, None
         pieces, done, res = [], 0, None
         for L in _segment_lengths(T):
             ts_seg = jnp.asarray(full_ts[done:done + L])
             res = run_seg_fn(
                 params, x_carry, y, key, phi_c, opt_c, eta_s, ts_seg, buf_c,
+                eps_c,
             )
             x_carry, phi_c, opt_c = res.sample, res.phi, res.opt_state
-            buf_c = res.x0_snapshots
+            buf_c, eps_c = res.x0_snapshots, res.eps_hist
             pieces.append(res)
             done += L
             if logger is not None:
@@ -372,7 +367,7 @@ def run_restoration(
                 if res.x0_std_trace is not None else None
             ),
             opt_state=res.opt_state, x0_snapshots=res.x0_snapshots,
-            snapshot_steps=res.snapshot_steps,
+            eps_hist=res.eps_hist, snapshot_steps=res.snapshot_steps,
         )
 
     # cold-start phi / optimizer state (re-used as the warm-start carrier for

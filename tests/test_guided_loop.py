@@ -867,7 +867,8 @@ def test_ps_hybrid_grad_loop_parity(no_torch_noise, k):
 # per-step noise is keyed on the timestep VALUE, so chaining segment calls
 # must reproduce the single-scan chain BITWISE.
 
-def _run_segmented(seg_lengths, gcfg, record_every=None):
+def _run_segmented(seg_lengths, gcfg, record_every=None, scfg=None):
+    scfg = scfg or SamplerConfig()
     sch = make_schedule("linear", T_STEPS)
     op = get_operator("underwater_physical_revised", batch_size=2, **OP_KW)
     rng = np.random.default_rng(7)
@@ -877,19 +878,21 @@ def _run_segmented(seg_lengths, gcfg, record_every=None):
     kw = dict(sample_pattern=PATTERN, record_every=record_every)
 
     full = guided_sample_loop(
-        _fake_model_jax, sch, x0, y, key, op, gcfg, SamplerConfig(), **kw
+        _fake_model_jax, sch, x0, y, key, op, gcfg, scfg, **kw
     )
 
     full_ts = np.arange(T_STEPS - 1, -1, -1, dtype=np.int32)
-    x_c, phi_c, opt_c, buf_c, done = x0, None, None, None, 0
+    x_c, phi_c, opt_c, buf_c, eps_c, done = x0, None, None, None, None, 0
     pieces = []
     for L in seg_lengths:
         res = guided_sample_loop(
-            _fake_model_jax, sch, x_c, y, key, op, gcfg, SamplerConfig(),
+            _fake_model_jax, sch, x_c, y, key, op, gcfg, scfg,
             phi_init=phi_c, opt_state_init=opt_c,
-            ts=jnp.asarray(full_ts[done:done + L]), x0_buf_init=buf_c, **kw
+            ts=jnp.asarray(full_ts[done:done + L]), x0_buf_init=buf_c,
+            eps_hist_init=eps_c, **kw
         )
-        x_c, phi_c, opt_c, buf_c = res.sample, res.phi, res.opt_state, res.x0_snapshots
+        x_c, phi_c, opt_c = res.sample, res.phi, res.opt_state
+        buf_c, eps_c = res.x0_snapshots, res.eps_hist
         pieces.append(res)
         done += L
     return full, pieces
@@ -935,14 +938,21 @@ def test_segmented_hybrid_chain_bitwise_equal():
     _assert_segments_match(full, pieces)
 
 
-def test_segmented_ltsp_raises():
-    sch = make_schedule("linear", T_STEPS)
-    op = get_operator("underwater_physical_revised", batch_size=1, **OP_KW)
-    gcfg = GuidanceConfig.from_config("osmosis", COND_PARAMS, PATTERN, None)
-    with pytest.raises(NotImplementedError, match="segmented"):
-        guided_sample_loop(
-            _fake_model_jax, sch, jnp.zeros((1, HW, HW, 4)),
-            jnp.zeros((1, HW, HW, 3)), jax.random.key(0), op, gcfg,
-            SamplerConfig(sampler="ltsp"), sample_pattern=PATTERN,
-            ts=jnp.arange(9, -1, -1, dtype=jnp.int32),
-        )
+def test_segmented_ltsp_chain_bitwise_equal():
+    """ltsp segments chain the PLMS eps history through
+    GuidedResult.eps_hist / eps_hist_init — results stay bitwise equal to
+    the single-scan run, including across the AB1..AB3 warmup boundary
+    (first segment shorter than the 4-step history)."""
+    gcfg = GuidanceConfig.from_config(
+        "osmosis", COND_PARAMS, PATTERN,
+        {"aux_loss": {"avrg_loss": 0.5, "val_loss": 20.0}},
+    )
+    scfg = SamplerConfig(sampler="ltsp", clip_denoised=True)
+    full, pieces = _run_segmented([2, 18, 30], gcfg, scfg=scfg)
+    _assert_segments_match(full, pieces)
+    # eps history surfaces only for ltsp (3 most-recent eps, full shape)
+    assert len(pieces[-1].eps_hist) == 3
+    assert pieces[-1].eps_hist[0].shape == full.sample.shape
+    plain = GuidanceConfig.from_config("osmosis", COND_PARAMS, PATTERN, None)
+    res_plain, _ = _run_segmented([T_STEPS], plain)
+    assert res_plain.eps_hist is None
