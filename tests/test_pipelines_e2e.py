@@ -175,16 +175,16 @@ def test_prior_pipeline_e2e(tmp_path):
 
 
 def test_shipped_configs_parse():
-    """The five shipped presets parse and build valid component configs."""
+    """Every shipped preset parses and builds valid component configs."""
     import glob
 
     from osmosis_tpu import config as C
     from osmosis_tpu.models import unet_config_from_yaml
 
     cfgs = sorted(glob.glob("configs/*.yaml"))
-    # the reference's five presets + the fast (ddim200) and turbo (ddim100)
-    # latency presets
-    assert len(cfgs) == 7
+    # the reference's five presets + the fast (ddim200) / turbo (ddim100)
+    # latency presets + the x0-gradient and hybrid (x_prev_every 4) presets
+    assert len(cfgs) == 9
     for path in cfgs:
         args = C.arguments_from_file(path)
         ucfg = unet_config_from_yaml(args.unet_model)
