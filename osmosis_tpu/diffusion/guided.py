@@ -76,9 +76,10 @@ class GuidanceConfig:
     gradient_x_prev: bool = False
     # hybrid gradient schedule (framework extension, no reference analog):
     # take the full x_prev gradient (UNet vjp) only every k-th chain step and
-    # the cheap x0-hat gradient on the rest — applies to the 'osmosis' path
-    # (requires gradient_x_prev: True) and the 'ps' DPS path (no flag
-    # needed: ps always differentiates wrt x_prev in the reference) —
+    # the cheap x0-hat gradient on the rest — applies to the 'osmosis'
+    # ddpm/ddim/ltsp paths (requires gradient_x_prev: True) and the 'ps'
+    # DPS path (no flag needed: ps always differentiates wrt x_prev in the
+    # reference) —
     # interpolates between the full mode's quality and the x0 mode's ~2.1x
     # step rate (measured per-k numbers: PERF.md "hybrid gradient
     # schedule" section). 1 = every step full (exact reference
@@ -634,6 +635,12 @@ def guided_sample_loop(
         ts = jnp.asarray(ts, jnp.int32)
     seg_len = int(ts.shape[0])  # == T for the full (unsegmented) chain
     carry0 = (x_init, phi0, opt_state0, jnp.zeros_like(x_init), buf_x0)
+    if ltsp:
+        if eps_hist_init is not None:
+            hist0 = tuple(jnp.asarray(e) for e in eps_hist_init)
+        else:
+            hist0 = tuple(jnp.zeros_like(x_init) for _ in range(3))
+        carry0 = carry0 + (hist0,)
     # perf knob scan_unroll>1 unrolls scan bodies so XLA can schedule one
     # step's boundary layout copies behind the previous step's convs
     # (perf experiment knob; requires seg_len % unroll == 0)
@@ -658,11 +665,6 @@ def guided_sample_loop(
     )
     if hybrid:
         kk = gcfg.x_prev_every
-        if ltsp:
-            raise NotImplementedError(
-                "x_prev_every>1 implements the 'osmosis' and 'ps' ddpm/ddim "
-                "paths — not ltsp (its PLMS history assumes a uniform step)"
-            )
         if kk >= T:
             raise ValueError(
                 f"x_prev_every={kk} must be < the chain length ({T} steps)"
@@ -699,13 +701,11 @@ def guided_sample_loop(
             ys = jax.tree_util.tree_map(
                 lambda a, b: jnp.concatenate([a, b], axis=0), ys, ys_ep
             )
-        x, phi, opt_state, x0_final, buf_x0 = carry
-    elif ltsp:
-        if eps_hist_init is not None:
-            hist0 = tuple(jnp.asarray(e) for e in eps_hist_init)
+        if ltsp:
+            x, phi, opt_state, x0_final, buf_x0, eps_hist_f = carry
         else:
-            hist0 = tuple(jnp.zeros_like(x_init) for _ in range(3))
-        carry0 = carry0 + (hist0,)
+            x, phi, opt_state, x0_final, buf_x0 = carry
+    elif ltsp:
         (x, phi, opt_state, x0_final, buf_x0, eps_hist_f), ys = jax.lax.scan(
             step, carry0, ts, unroll=unroll
         )

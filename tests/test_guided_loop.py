@@ -938,6 +938,50 @@ def test_segmented_hybrid_chain_bitwise_equal():
     _assert_segments_match(full, pieces)
 
 
+def test_ltsp_hybrid_equals_per_step_composition():
+    """x_prev_every=k on the ltsp sampler: the hybrid chain must equal a
+    manual composition of 1-step segments that alternate a full-gradient
+    gcfg (substep 0 of each block) with an x0-gradient gcfg (substeps
+    1..k-1) — the hybrid's only semantic content is WHICH gradient each
+    step uses. Tolerance is the fp32 roundoff floor (measured 7e-7 max):
+    the block body and the 1-step programs are different XLA executables,
+    so fusion orders differ — bitwise equality only holds within one
+    program structure (see the segmented tests)."""
+    k = 2
+    sch = make_schedule("linear", T_STEPS)
+    op = get_operator("underwater_physical_revised", batch_size=1, **OP_KW)
+    scfg = SamplerConfig(sampler="ltsp", clip_denoised=True)
+    rng = np.random.default_rng(41)
+    x0 = jnp.asarray(rng.standard_normal((1, HW, HW, 4)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1, 1, (1, HW, HW, 3)).astype(np.float32))
+    key = jax.random.key(5)
+
+    gcfg_h = GuidanceConfig.from_config(
+        "osmosis", dict(COND_PARAMS, x_prev_every=k), PATTERN, None)
+    res_h = guided_sample_loop(
+        _fake_model_jax, sch, x0, y, key, op, gcfg_h, scfg,
+        sample_pattern=PATTERN)
+
+    gcfg_full = GuidanceConfig.from_config("osmosis", COND_PARAMS, PATTERN, None)
+    gcfg_x0 = GuidanceConfig.from_config(
+        "osmosis", dict(COND_PARAMS, gradient_x_prev=False), PATTERN, None)
+    full_ts = np.arange(T_STEPS - 1, -1, -1, dtype=np.int32)
+    x_c, phi_c, opt_c, eps_c = x0, None, None, None
+    for s in range(T_STEPS):
+        res = guided_sample_loop(
+            _fake_model_jax, sch, x_c, y, key, op,
+            gcfg_full if s % k == 0 else gcfg_x0, scfg,
+            sample_pattern=PATTERN, phi_init=phi_c, opt_state_init=opt_c,
+            ts=jnp.asarray(full_ts[s:s + 1]), eps_hist_init=eps_c)
+        x_c, phi_c, opt_c, eps_c = res.sample, res.phi, res.opt_state, res.eps_hist
+    np.testing.assert_allclose(
+        np.asarray(res_h.sample), np.asarray(x_c), rtol=1e-4, atol=2e-6)
+    for kn in res_h.phi:
+        np.testing.assert_allclose(
+            np.asarray(res_h.phi[kn]), np.asarray(phi_c[kn]),
+            rtol=1e-5, atol=1e-7)
+
+
 def test_segmented_ltsp_chain_bitwise_equal():
     """ltsp segments chain the PLMS eps history through
     GuidedResult.eps_hist / eps_hist_init — results stay bitwise equal to
