@@ -44,7 +44,7 @@ def _force_sync(out):
 
 
 def build_guided_run(dtype=jnp.bfloat16, n_iter=20, image_size=256, batch=1,
-                     gradient_x_prev=True, x_prev_every=1):
+                     gradient_x_prev=True, x_prev_every=1, sampler="ddpm"):
     from osmosis_tpu.diffusion.guided import GuidanceConfig, guided_sample_loop
     from osmosis_tpu.diffusion.sampler import SamplerConfig
     from osmosis_tpu.diffusion.schedules import make_schedule
@@ -99,7 +99,8 @@ def build_guided_run(dtype=jnp.bfloat16, n_iter=20, image_size=256, batch=1,
 
         res = guided_sample_loop(
             model_fn, schedule, x, y, key, operator, gcfg,
-            SamplerConfig(clip_denoised=True), sample_pattern=pattern,
+            SamplerConfig(clip_denoised=True, sampler=sampler),
+            sample_pattern=pattern,
         )
         return res.sample, res.phi
 

@@ -26,9 +26,10 @@ _enable_cache()
 import bench
 
 
-def measure(gradient_x_prev, x_prev_every=1):
+def measure(gradient_x_prev, x_prev_every=1, sampler="ddpm"):
     run, params, x, y = bench.build_guided_run(
-        gradient_x_prev=gradient_x_prev, x_prev_every=x_prev_every)
+        gradient_x_prev=gradient_x_prev, x_prev_every=x_prev_every,
+        sampler=sampler)
     key = jax.random.key(3)
     t0 = time.perf_counter()
     np.asarray(jax.tree_util.tree_leaves(run(params, x, y, key))[0])
@@ -50,6 +51,10 @@ def main():
                          "gradient schedule; [] to skip)")
     ap.add_argument("--skip-pure", action="store_true",
                     help="measure only the --hybrid periods")
+    ap.add_argument("--ltsp", type=int, nargs="*", default=None,
+                    help="also measure the ltsp splitting sampler at these "
+                         "x_prev_every periods (1 = pure ltsp); e.g. "
+                         "--ltsp 1 4")
     args = ap.parse_args()
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
     sps_full = None
@@ -66,6 +71,11 @@ def main():
         extra = f" ({sps_k/sps_full:.2f}x full)" if sps_full else ""
         print(f"hybrid x_prev_every={k}: {sps_k:.2f} steps/s "
               f"({1000/sps_k:.1f} s per 1000-step image){extra}", flush=True)
+    for k in (args.ltsp or []):
+        sps_k = measure(True, x_prev_every=k, sampler="ltsp")
+        label = "ltsp" if k == 1 else f"ltsp hybrid x_prev_every={k}"
+        print(f"{label}: {sps_k:.2f} steps/s "
+              f"({1000/sps_k:.1f} s per 1000-step image)", flush=True)
 
 
 if __name__ == "__main__":
