@@ -10,6 +10,8 @@ string formats must keep parsing identically to the reference:
   * phi inits "1.1,0.95,0.95" via np.fromstring (measurements.py:225-231)
   * "attention_resolutions: 32, 16, 8" → downsample-rate set (unet.py:61-68)
   * timestep_respacing int | "ddimN" (gaussian_diffusion.py:392-403)
+    (+ the beyond-reference "powN@gamma" non-uniform spacing,
+    diffusion/schedules.py power_timesteps)
 """
 
 from __future__ import annotations

@@ -60,8 +60,17 @@ def space_timesteps(num_timesteps: int, section_counts: Union[str, int, Sequence
 
     Semantics match gaussian_diffusion.py:373-426 exactly, including the
     "ddimN" fixed-stride special case and the per-section fractional stride.
+    One beyond-reference extension: "powN" / "powN@gamma" selects N steps
+    with power-law density (see power_timesteps).
     """
     if isinstance(section_counts, str):
+        if section_counts.startswith("pow"):
+            spec = section_counts[len("pow"):]
+            gamma = 2.0
+            if "@" in spec:
+                spec, gamma_str = spec.split("@", 1)
+                gamma = float(gamma_str)
+            return power_timesteps(num_timesteps, int(spec), gamma)
         if section_counts.startswith("ddim"):
             desired_count = int(section_counts[len("ddim"):])
             for i in range(1, num_timesteps):
@@ -94,6 +103,38 @@ def space_timesteps(num_timesteps: int, section_counts: Union[str, int, Sequence
         all_steps += taken_steps
         start_idx += size
     return set(all_steps)
+
+
+def power_timesteps(num_timesteps: int, count: int, gamma: float) -> Set[int]:
+    """Non-uniform respacing: retained-step density follows a power law.
+
+    Beyond-reference capability (the reference only exposes uniform strides
+    and per-section counts, gaussian_diffusion.py:373-426). Motivated by the
+    non-uniform skip strategies in the low-step-count sampling literature
+    (e.g. arXiv 2309.03445's skip-sampling, EDM's rho-spacing): gamma > 1
+    concentrates the retained timesteps at LOW noise (small t, where image
+    detail forms and guidance gradients are most informative); gamma < 1
+    concentrates them at high noise; gamma == 1 reproduces the uniform
+    fractional-stride placement. Both endpoints (0 and T-1) are always
+    retained, and rounding collisions are repaired to keep exactly `count`
+    strictly increasing steps.
+    """
+    if not 0 < count <= num_timesteps:
+        raise ValueError(
+            f"cannot take {count} power-spaced steps from {num_timesteps}")
+    if gamma <= 0:
+        raise ValueError(f"power-spacing exponent must be > 0, got {gamma}")
+    u = np.linspace(0.0, 1.0, count)
+    steps = np.round((u ** gamma) * (num_timesteps - 1)).astype(np.int64)
+    for i in range(1, count):  # forward repair: strictly increasing
+        if steps[i] <= steps[i - 1]:
+            steps[i] = steps[i - 1] + 1
+    if count > 1 and steps[-1] > num_timesteps - 1:  # backward: back in range
+        steps[-1] = num_timesteps - 1
+        for i in range(count - 2, -1, -1):
+            if steps[i] >= steps[i + 1]:
+                steps[i] = steps[i + 1] - 1
+    return set(int(s) for s in steps)
 
 
 def respace_betas(betas: np.ndarray, use_timesteps: Set[int]):

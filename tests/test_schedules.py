@@ -125,3 +125,52 @@ def test_device_constants_fp32():
     consts = sch.device_constants()
     assert all(v.dtype == np.float32 for v in consts.values())
     assert "posterior_mean_coef1" in consts and "model_timesteps" in consts
+
+
+def test_power_timesteps_basic():
+    # gamma=1 reproduces the uniform fractional-stride placement of a
+    # single-section count (both are round(linspace(0, T-1, N)))
+    T, N = 1000, 100
+    uniform = np.round(np.linspace(0.0, 1.0, N) * (T - 1)).astype(int)
+    assert S.space_timesteps(T, f"pow{N}@1") == set(uniform.tolist())
+    # gamma=2 default: endpoints retained, exactly N steps, denser at low t
+    steps = sorted(S.space_timesteps(T, f"pow{N}"))
+    assert len(steps) == N
+    assert steps[0] == 0 and steps[-1] == T - 1
+    gaps = np.diff(steps)
+    assert gaps[0] < gaps[-1]  # density concentrated at low noise
+    assert (gaps > 0).all()
+    # explicit gamma parses
+    assert sorted(S.space_timesteps(T, "pow50@3.0"))[-1] == T - 1
+
+
+def test_power_timesteps_collision_repair():
+    # heavy low-t concentration forces rounding collisions near 0; the
+    # repair must still return exactly N distinct strictly-increasing steps
+    for gamma in (2.0, 4.0, 8.0):
+        steps = sorted(S.power_timesteps(100, 60, gamma))
+        assert len(steps) == 60
+        assert steps[0] >= 0 and steps[-1] == 99
+    # gamma<1 concentrates at high t (collisions at the top)
+    steps = sorted(S.power_timesteps(100, 60, 0.25))
+    assert len(steps) == 60 and steps[-1] == 99 and steps[0] == 0
+    # degenerate: take every step
+    assert sorted(S.power_timesteps(50, 50, 5.0)) == list(range(50))
+    # count=1
+    assert S.power_timesteps(1000, 1, 2.0) == {0}
+
+
+def test_power_timesteps_validation():
+    with pytest.raises(ValueError):
+        S.power_timesteps(100, 101, 2.0)
+    with pytest.raises(ValueError):
+        S.power_timesteps(100, 10, 0.0)
+    with pytest.raises(ValueError):
+        S.power_timesteps(100, 0, 2.0)
+
+
+def test_power_respacing_end_to_end():
+    # the pow DSL flows through make_schedule like any respacing string
+    sch = S.make_schedule("linear", 1000, timestep_respacing="pow50@2")
+    assert sch.betas.shape == (50,)
+    assert sch.timestep_map[-1] == 999 and sch.timestep_map[0] == 0
