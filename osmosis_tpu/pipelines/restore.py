@@ -32,7 +32,13 @@ from ..models.convert import cast_params_half, load_unet_params
 from ..models.unet import UNetModel, unet_config_from_yaml
 from ..utils import logging as L
 from ..utils import profiling as prof
+from ..utils.chainjournal import ChainJournal
 from ..utils.rundir import make_output_dirs, update_save_dir_date
+from types import SimpleNamespace as _SNS
+
+# process-wide count of chain-checkpoint boundary saves, read by the
+# OSMOSIS_TPU_CRASH_AFTER_SEGMENTS fault-injection hook (chainjournal.py)
+_CRASH_SAVES = {"n": 0}
 
 
 def _grad_mode_str(cp):
@@ -292,6 +298,37 @@ def run_restoration(
             "the fleet path prints its per-chain trace summary instead"
         )
 
+    # chain_checkpoint: True (extension, default off): persist completed
+    # chains and the in-flight chain's scan-carry state at every
+    # progress_segments boundary under <run_dir>/.chain_state/, so a
+    # preempted run re-entered with resume: True continues the interrupted
+    # image mid-chain with BITWISE-identical results (per-step noise is
+    # keyed on the timestep value) — see utils/chainjournal.py and
+    # tests/test_chain_checkpoint.py. Without progress_segments the
+    # granularity is whole chains (still worth it for best_of/global_N>1).
+    chain_checkpoint = bool(getattr(args, "chain_checkpoint", False))
+    chain_fp = ""
+    if chain_checkpoint:
+        import hashlib
+        import json as _json
+
+        # fingerprint everything that determines chain numerics; run-dir
+        # placement, resume mode and segmentation (numerics-neutral by the
+        # bitwise segment tests) stay out so resumes survive changing them
+        _fp_cfg = {
+            k: v for k, v in vars(args).items()
+            if k not in ("save_dir", "resume", "progress_segments",
+                         "chain_checkpoint")
+        }
+        chain_fp = hashlib.sha256(
+            _json.dumps(_fp_cfg, sort_keys=True, default=str).encode()
+        ).hexdigest()[:16]
+        if batch_size and batch_size > 1:
+            logger.log(
+                "chain_checkpoint applies to the serial (batch_size 1) "
+                "path; the fleet path resumes at image granularity"
+            )
+
     def _run_seg(params_, x_init, y, key, phi0, opt0, eta_s, ts_seg, buf0,
                  eps0):
         def model_fn(x, t):
@@ -306,7 +343,7 @@ def run_restoration(
 
     run_seg_fn = jax.jit(_run_seg)
 
-    def _segment_lengths(T):
+    def _segment_base(T):
         """Non-final segments stay divisible by the hybrid block width so the
         full-gradient step placement matches the unsegmented chain."""
         k_align = (
@@ -314,21 +351,41 @@ def run_restoration(
             if (gcfg.x_prev_every > 1
                 and (gcfg.gradient_x_prev or gcfg.method == "ps")) else 1
         )
-        base = max(k_align, (T // progress_segments) // k_align * k_align)
-        n_full = max(0, T // base - 1)
-        lengths = [base] * n_full + [T - base * n_full]
-        return lengths
+        return max(k_align, (T // progress_segments) // k_align * k_align)
 
-    def _run_chain(x_start, y, key, phi0, opt0, eta_s, logger=None):
-        """One guided chain — a single compiled scan by default, or N chained
-        segment calls when progress_segments > 1 (identical results)."""
+    def _np_tree(t):
+        return jax.tree_util.tree_map(np.asarray, t)
+
+    def _run_chain(x_start, y, key, phi0, opt0, eta_s, logger=None,
+                   journal=None, tag=(0, 0)):
+        """One guided chain — a single compiled scan by default, or chained
+        segment calls when progress_segments > 1 (identical results). With a
+        journal (chain_checkpoint: True) the carry state persists at every
+        boundary and an interrupted chain resumes from the last one."""
         if progress_segments <= 1:
             return run_fn(params, x_start, y, key, phi0, opt0, eta_s)
         T = schedule.num_timesteps
         full_ts = np.arange(T - 1, -1, -1, dtype=np.int32)
         x_carry, phi_c, opt_c, buf_c, eps_c = x_start, phi0, opt0, None, None
         pieces, done, res = [], 0, None
-        for L in _segment_lengths(T):
+        if journal is not None:
+            part = journal.load_partial(tag)
+            if part is not None:
+                done = int(part["done"])
+                x_carry, phi_c, opt_c = part["x"], part["phi"], part["opt"]
+                buf_c, eps_c = part["buf"], part["eps"]
+                # prefix telemetry re-enters the cat below as a pseudo-piece
+                pieces.append(_SNS(**part["traces"]))
+                if logger is not None:
+                    logger.log(
+                        f"  resuming chain at step {done}/{T} from the chain"
+                        " checkpoint (bitwise-identical continuation)"
+                    )
+        # greedy segmentation: reproduces the aligned boundary layout from 0
+        # and continues cleanly from any saved (k-aligned) `done`
+        base = _segment_base(T)
+        while done < T:
+            L = base if T - done >= 2 * base else T - done
             ts_seg = jnp.asarray(full_ts[done:done + L])
             res = run_seg_fn(
                 params, x_carry, y, key, phi_c, opt_c, eta_s, ts_seg, buf_c,
@@ -338,6 +395,39 @@ def run_restoration(
             buf_c, eps_c = res.x0_snapshots, res.eps_hist
             pieces.append(res)
             done += L
+            if journal is not None and done < T:
+                _tr = lambda get: jax.tree_util.tree_map(
+                    lambda *xs: np.concatenate([np.asarray(x) for x in xs], 0),
+                    *[get(p) for p in pieces]
+                )
+                journal.save_partial(tag, {
+                    "done": done,
+                    "x": np.asarray(x_carry),
+                    "phi": _np_tree(phi_c),
+                    "opt": _np_tree(opt_c),
+                    "buf": None if buf_c is None else np.asarray(buf_c),
+                    "eps": (None if eps_c is None
+                            else tuple(np.asarray(e) for e in eps_c)),
+                    "traces": {
+                        "sep_loss": _tr(lambda p: p.sep_loss),
+                        "phi_trace": _tr(lambda p: p.phi_trace),
+                        "aux_trace": _tr(lambda p: p.aux_trace),
+                        "x0_std_trace": (
+                            None if res.x0_std_trace is None
+                            else _tr(lambda p: p.x0_std_trace)
+                        ),
+                    },
+                })
+                # fault injection (tests/test_chain_checkpoint.py): die after
+                # the N-th boundary save, process-wide
+                _CRASH_SAVES["n"] += 1
+                _after = int(os.environ.get(
+                    "OSMOSIS_TPU_CRASH_AFTER_SEGMENTS", 0) or 0)
+                if _after and _CRASH_SAVES["n"] >= _after:
+                    raise RuntimeError(
+                        "injected crash: OSMOSIS_TPU_CRASH_AFTER_SEGMENTS="
+                        f"{_after} reached"
+                    )
             if logger is not None:
                 # tiny fetches (last trace row) — this sync point IS the
                 # progress mechanism
@@ -493,6 +583,19 @@ def run_restoration(
             continue
         logger.log(f"\nInference image {i}: {ref_img_name}\n")
 
+        # durable chain state (chain_checkpoint: True) — completed chains
+        # replay from disk, the in-flight chain resumes at its last
+        # progress_segments boundary (utils/chainjournal.py)
+        journal, saved_chains = None, {}
+        if chain_checkpoint:
+            journal = ChainJournal(out_path, orig_name, chain_fp)
+            saved_chains = journal.load_chains()
+            if saved_chains:
+                logger.log(
+                    f"chain checkpoint: {len(saved_chains)} completed "
+                    "chain(s) restored from a previous run"
+                )
+
         ref_np = ref_img[None]  # [1,H,W,3]
         y = jnp.asarray(ref_np)
         noise_key = jax.random.fold_in(jax.random.key(args.manual_seed + 1), i)
@@ -544,11 +647,25 @@ def run_restoration(
                     None if global_eta_scale == 1.0
                     else jnp.float32(global_eta_scale ** global_ii)
                 )
-                with prof.phase("sample"):
-                    res = _run_chain(
-                        x_start, y, jax.random.fold_in(key, 1),
-                        phi_carry, opt_carry, eta_s, logger=logger,
+                if (try_k, global_ii) in saved_chains:
+                    res = saved_chains[(try_k, global_ii)]
+                    logger.log(
+                        f"chain (restart {try_k}, global {global_ii}): "
+                        "replayed from the chain checkpoint"
                     )
+                else:
+                    with prof.phase("sample"):
+                        res = _run_chain(
+                            x_start, y, jax.random.fold_in(key, 1),
+                            phi_carry, opt_carry, eta_s, logger=logger,
+                            journal=journal, tag=(try_k, global_ii),
+                        )
+                    if journal is not None:
+                        journal.save_chain(
+                            try_k, global_ii,
+                            jax.tree_util.tree_map(np.asarray, res),
+                        )
+                        journal.clear_partial()
                 # device arrays thread into the next global iteration without
                 # a host round-trip; the save path fetches its own copy
                 phi_carry = res.phi
@@ -577,6 +694,11 @@ def run_restoration(
         # surface worker failures promptly (at most one image behind)
         if async_save and len(pending) > 2 * max(global_N, 1):
             _await_saves()
+        if journal is not None:
+            # outputs exist (or are queued) — the durable state has served
+            # its purpose; a crash inside the async window re-runs at image
+            # granularity, which the resume skip-check already handles
+            journal.clear()
 
     _await_saves()
     if saver is not None:

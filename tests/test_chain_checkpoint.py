@@ -1,0 +1,160 @@
+"""Durable mid-chain checkpoint/resume (chain_checkpoint: True).
+
+The reference's resume granularity is the per-image loop; this extension
+persists scan-carry state at progress_segments boundaries so a preempted
+run continues the interrupted image mid-chain. The key claim is BITWISE
+equality with an uninterrupted run (per-step noise is keyed on the
+timestep value) — asserted here end-to-end through the production
+pipeline with the OSMOSIS_TPU_CRASH_AFTER_SEGMENTS fault-injection hook.
+"""
+
+import os
+from os.path import join as pjoin
+
+import numpy as np
+import pytest
+import yaml
+
+from tests.test_pipelines_e2e import DIFFUSION, PATTERN, TINY_UNET, _write_images
+
+from osmosis_tpu.utils.chainjournal import ChainJournal
+
+
+# ---------------------------------------------------------------- unit tests
+
+def test_journal_roundtrip(tmp_path):
+    j = ChainJournal(str(tmp_path), "img_0", "fp-abc")
+    res = {"sample": np.arange(6.0).reshape(2, 3), "phi": {"a": np.ones(3)}}
+    j.save_chain(0, 0, res)
+    j.save_chain(1, 0, {"sample": np.zeros(2)})
+    loaded = j.load_chains()
+    assert set(loaded) == {(0, 0), (1, 0)}
+    np.testing.assert_array_equal(loaded[(0, 0)]["sample"], res["sample"])
+
+    state = {"done": 10, "x": np.ones((1, 4)), "traces": {}}
+    j.save_partial((1, 0), state)
+    assert j.load_partial((1, 0))["done"] == 10
+    # a different chain tag must not pick up this partial
+    assert j.load_partial((0, 1)) is None
+    j.clear_partial()
+    assert j.load_partial((1, 0)) is None
+
+    # image done → no residue
+    j.save_partial((0, 0), state)
+    j.clear()
+    assert not os.path.exists(j.dir)
+
+
+def test_journal_fingerprint_staleness(tmp_path):
+    j = ChainJournal(str(tmp_path), "img_0", "fp-old")
+    j.save_chain(0, 0, {"v": np.ones(2)})
+    j.save_partial((0, 0), {"done": 5})
+    # a config change (different fingerprint) must ignore the stale state
+    j2 = ChainJournal(str(tmp_path), "img_0", "fp-new")
+    assert j2.load_chains() == {}
+    assert j2.load_partial((0, 0)) is None
+    # corrupt file → treated as absent, not an exception
+    with open(pjoin(j.dir, "chain_0_0.pkl"), "wb") as f:
+        f.write(b"not a pickle")
+    assert j2.load_chains() == {}
+
+
+# ------------------------------------------------------- e2e crash-then-resume
+
+def _cfg(tmp_path, data_dir, tag):
+    diffusion = dict(DIFFUSION, steps=30, timestep_respacing=30)
+    return dict(
+        save_dir=str(tmp_path / f"results_{tag}"),
+        degamma_input=False, manual_seed=0, rgb_guidance=False,
+        save_singles=True, save_grids=True,
+        record_process=True, record_every=10,
+        change_input_output_channels=True, input_channels=4, output_channels=8,
+        progress_segments=3, chain_checkpoint=True,
+        sample_pattern=PATTERN,
+        unet_model=TINY_UNET,
+        diffusion=diffusion,
+        conditioning=dict(
+            method="osmosis",
+            params=dict(
+                loss_function="norm", loss_weight="depth",
+                weight_function="gamma,1.4,1.4,1", scale="7,7,7,0.9",
+                gradient_x_prev=True, gradient_clip="True,0.005",
+            ),
+        ),
+        aux_loss=dict(aux_loss=dict(avrg_loss=0.5, val_loss=20)),
+        data=dict(batch_size=1, name="tiny", root=data_dir,
+                  stop_after=1, ground_truth=False),
+        measurement=dict(
+            operator=dict(
+                name="underwater_physical_revised", optimizer="sgd",
+                depth_type="gamma", value="1.4,1.4,1",
+                phi_a="1.1,0.95,0.95", phi_a_eta=1e-5, phi_a_learn_flag=True,
+                phi_b="0.95, 0.8, 0.8", phi_b_eta=1e-5, phi_b_learn_flag=True,
+                phi_inf="0.14, 0.29, 0.49", phi_inf_eta=1e-5,
+                phi_inf_learn_flag=True,
+            ),
+            noise=dict(name="clean"),
+        ),
+    )
+
+
+def _run(cfg, tmp_path, name, resume=False):
+    if resume:
+        cfg = dict(cfg, resume=True)
+    cfg_path = str(tmp_path / f"{name}.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    from osmosis_tpu.pipelines import run_restoration
+
+    return run_restoration(cfg_path)
+
+
+def test_crash_then_resume_bitwise(tmp_path):
+    data_dir = str(tmp_path / "images")
+    _write_images(data_dir, n=1)
+
+    # uninterrupted run (chain checkpointing ON — also asserts the no-crash
+    # path leaves no state residue and matches the plain segmented numbers)
+    cfg_a = _cfg(tmp_path, data_dir, "a")
+    out_a = _run(cfg_a, tmp_path, "cfg_a")
+    assert not os.path.exists(pjoin(out_a, ".chain_state"))
+
+    # interrupted run: die after the first boundary save of THIS run
+    from osmosis_tpu.pipelines import restore as R
+
+    cfg_b = _cfg(tmp_path, data_dir, "b")
+    os.environ["OSMOSIS_TPU_CRASH_AFTER_SEGMENTS"] = str(R._CRASH_SAVES["n"] + 1)
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            _run(cfg_b, tmp_path, "cfg_b")
+    finally:
+        del os.environ["OSMOSIS_TPU_CRASH_AFTER_SEGMENTS"]
+
+    # the durable state exists and the output does not
+    res_root = str(tmp_path / "results_b")
+    crashed_runs = [
+        pjoin(dp, d) for dp, dns, _ in os.walk(res_root) for d in dns
+        if d.startswith("run")
+    ]
+    assert crashed_runs, "crashed run dir missing"
+    state_dirs = [
+        pjoin(r, ".chain_state", "img_0") for r in crashed_runs
+        if os.path.exists(pjoin(r, ".chain_state", "img_0"))
+    ]
+    assert state_dirs, "no chain state persisted before the crash"
+
+    # resume: re-enters the same run dir, continues mid-chain, finishes
+    out_b = _run(cfg_b, tmp_path, "cfg_b_resume", resume=True)
+    log = open(pjoin(out_b, "log.txt")).read()
+    assert "resuming chain at step" in log
+    assert not os.path.exists(pjoin(out_b, ".chain_state"))
+
+    # BITWISE-identical outputs vs the uninterrupted run
+    for sub in ("rgb", "depth_raw", "depth_color"):
+        pa = pjoin(out_a, "single_images", sub, "img_0.png")
+        pb = pjoin(out_b, "single_images", sub, "img_0.png")
+        assert open(pa, "rb").read() == open(pb, "rb").read(), sub
+    # telemetry traces survive the boundary: the grid strip also matches
+    ga = pjoin(out_a, "grid_results", "img_0_process.png")
+    gb = pjoin(out_b, "grid_results", "img_0_process.png")
+    assert open(ga, "rb").read() == open(gb, "rb").read()
