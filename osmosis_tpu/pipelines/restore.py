@@ -517,11 +517,13 @@ def run_restoration(
         logger.close()
         return out_path
 
-    # OPTIONAL async postprocessing (perf knob async_save): a worker
-    # thread fetches+saves while the device runs the next chain. Measured
-    # NEGATIVE through the axon relay (fetch-during-execute contention:
-    # ~20 s/image vs 12 s synchronous on the fast preset), so the default
-    # is synchronous; the knob exists for direct-attached TPUs.
+    # OPTIONAL async postprocessing (perf knob async_save): the device
+    # fetch happens on the MAIN thread (device idle at that point); only
+    # the host-CPU postprocess/PNG work runs in the worker while the device
+    # executes the next chain. The original worker-side fetch variant
+    # measured NEGATIVE through the axon relay (fetch-during-execute
+    # contention, 8-20 s/image erratic vs 7 s synchronous — PERF.md round
+    # 11), which is why the split is fetch-sync / save-async.
     import concurrent.futures as _cf
 
     async_save = bool(PF.get("async_save"))
@@ -684,8 +686,9 @@ def run_restoration(
         gt = (gt_rgb, gt_depth) if gt_flag else None
         for global_ii, res in enumerate(best_trial):
             if async_save:
+                res_np = jax.tree_util.tree_map(np.asarray, res)
                 pending.append(saver.submit(
-                    _finish_image, res, ref_np, ref_img_name, orig_name,
+                    _finish_image, res_np, ref_np, ref_img_name, orig_name,
                     global_ii, gt, start_time,
                 ))
             else:

@@ -434,3 +434,38 @@ def test_progress_segments_matches_single_scan(tmp_path):
     T = DIFFUSION["steps"]
     assert log.count("  progress ") == 4
     assert f"progress   {T}/{T} steps (t=0)" in log
+
+
+def test_async_save_matches_sync(tmp_path):
+    """perf: async_save=true (extension): the device fetch stays on the main
+    thread; only the host postprocess/PNG work moves to the worker. Outputs
+    must be byte-identical to the synchronous path and all run-dir files
+    must exist after run_restoration returns (the pipeline joins the worker
+    before closing the logger)."""
+    import yaml as _y
+
+    from osmosis_tpu import perf
+    from osmosis_tpu.pipelines import run_restoration
+
+    root = str(tmp_path / "imgs")
+    _write_images(root, n=2)
+
+    out_sync = run_restoration(_fleet_cfg(tmp_path, root, 1, subdir="syncsave"))
+
+    p = _fleet_cfg(tmp_path, root, 1, subdir="asyncsave")
+    cfg = _y.safe_load(open(p))
+    cfg["perf"] = dict(async_save=True)
+    _y.dump(cfg, open(p, "w"))
+    try:
+        out_async = run_restoration(p)
+    finally:
+        perf.set_perf(async_save=False)  # module-level singleton
+
+    for name in ("img_0.png", "img_1.png"):
+        for sub in ("rgb", "depth_color", "depth_raw", "input"):
+            a = np.asarray(Image.open(pjoin(out_sync, "single_images", sub, name)))
+            b = np.asarray(Image.open(pjoin(out_async, "single_images", sub, name)))
+            assert np.array_equal(a, b), (sub, name)
+    # per-image telemetry from the worker still lands in the log
+    log = open(pjoin(out_async, "log.txt")).read()
+    assert log.count("Run time:") == 2
