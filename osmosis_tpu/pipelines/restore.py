@@ -291,12 +291,10 @@ def run_restoration(
     # boundaries (tests/test_guided_loop.py pins bitwise equality). Cost is
     # one dispatch + scalar fetch per boundary (~0.1 s each through the
     # relay — keep N modest, e.g. 4-10 on a 30 s chain).
+    # On the fleet (batch_size > 1) path the same mechanism runs through a
+    # vmapped segment runner (parallel/runner.py) with one progress row per
+    # boundary (lane-mean loss/x0_std/phi).
     progress_segments = int(getattr(args, "progress_segments", 0) or 0)
-    if progress_segments > 1 and batch_size and batch_size > 1:
-        logger.log(
-            "progress_segments applies to the serial (batch_size 1) path; "
-            "the fleet path prints its per-chain trace summary instead"
-        )
 
     # chain_checkpoint: True (extension, default off): persist completed
     # chains and the in-flight chain's scan-carry state at every
@@ -306,6 +304,11 @@ def run_restoration(
     # keyed on the timestep value) — see utils/chainjournal.py and
     # tests/test_chain_checkpoint.py. Without progress_segments the
     # granularity is whole chains (still worth it for best_of/global_N>1).
+    # On the fleet path the durable unit is the CHUNK: the journal carries
+    # the whole batched scan state, and its fingerprint includes the chunk's
+    # image composition (a resume whose membership shifted — e.g. a crash
+    # mid-save left partial outputs — safely ignores the stale state and
+    # reruns the chunk).
     chain_checkpoint = bool(getattr(args, "chain_checkpoint", False))
     chain_fp = ""
     if chain_checkpoint:
@@ -323,11 +326,6 @@ def run_restoration(
         chain_fp = hashlib.sha256(
             _json.dumps(_fp_cfg, sort_keys=True, default=str).encode()
         ).hexdigest()[:16]
-        if batch_size and batch_size > 1:
-            logger.log(
-                "chain_checkpoint applies to the serial (batch_size 1) "
-                "path; the fleet path resumes at image granularity"
-            )
 
     def _run_seg(params_, x_init, y, key, phi0, opt0, eta_s, ts_seg, buf0,
                  eps0):
@@ -356,109 +354,130 @@ def run_restoration(
     def _np_tree(t):
         return jax.tree_util.tree_map(np.asarray, t)
 
-    def _run_chain(x_start, y, key, phi0, opt0, eta_s, logger=None,
-                   journal=None, tag=(0, 0)):
-        """One guided chain — a single compiled scan by default, or chained
-        segment calls when progress_segments > 1 (identical results). With a
-        journal (chain_checkpoint: True) the carry state persists at every
-        boundary and an interrupted chain resumes from the last one."""
-        if progress_segments <= 1:
-            return run_fn(params, x_start, y, key, phi0, opt0, eta_s)
-        T = schedule.num_timesteps
-        full_ts = np.arange(T - 1, -1, -1, dtype=np.int32)
-        x_carry, phi_c, opt_c, buf_c, eps_c = x_start, phi0, opt0, None, None
-        pieces, done, res = [], 0, None
-        if journal is not None:
-            part = journal.load_partial(tag)
-            if part is not None:
-                done = int(part["done"])
-                x_carry, phi_c, opt_c = part["x"], part["phi"], part["opt"]
-                buf_c, eps_c = part["buf"], part["eps"]
-                # prefix telemetry re-enters the cat below as a pseudo-piece
-                pieces.append(_SNS(**part["traces"]))
+    def _make_chain_fn(single_fn, seg_fn, cat_axis=0, recarry=lambda s: s):
+        """Build a chain runner for one batch shape: a single compiled scan by
+        default, or chained segment calls when progress_segments > 1
+        (identical results). With a journal (chain_checkpoint: True) the carry
+        state persists at every boundary and an interrupted chain resumes from
+        the last one. ``cat_axis`` is the trace-step axis of the result pytree
+        (0 on the serial path, 1 on the vmapped fleet path, whose leaves carry
+        a leading lane axis); ``recarry`` maps a segment's output sample back
+        into the next segment's x input (the fleet runner's per-lane batch-1
+        dim is squeezed)."""
+
+        def chain(x_start, y, key, phi0, opt0, eta_s, logger=None,
+                  journal=None, tag=(0, 0)):
+            if progress_segments <= 1:
+                return single_fn(x_start, y, key, phi0, opt0, eta_s)
+            T = schedule.num_timesteps
+            full_ts = np.arange(T - 1, -1, -1, dtype=np.int32)
+            x_carry, phi_c, opt_c, buf_c, eps_c = x_start, phi0, opt0, None, None
+            pieces, done, res = [], 0, None
+            if journal is not None:
+                part = journal.load_partial(tag)
+                if part is not None:
+                    done = int(part["done"])
+                    x_carry, phi_c, opt_c = part["x"], part["phi"], part["opt"]
+                    buf_c, eps_c = part["buf"], part["eps"]
+                    # prefix telemetry re-enters the cat below as a pseudo-piece
+                    pieces.append(_SNS(**part["traces"]))
+                    if logger is not None:
+                        logger.log(
+                            f"  resuming chain at step {done}/{T} from the chain"
+                            " checkpoint (bitwise-identical continuation)"
+                        )
+            # greedy segmentation: reproduces the aligned boundary layout from
+            # 0 and continues cleanly from any saved (k-aligned) `done`
+            base = _segment_base(T)
+            while done < T:
+                L = base if T - done >= 2 * base else T - done
+                ts_seg = jnp.asarray(full_ts[done:done + L])
+                res = seg_fn(
+                    x_carry, y, key, phi_c, opt_c, eta_s, ts_seg, buf_c, eps_c,
+                )
+                x_carry, phi_c, opt_c = recarry(res.sample), res.phi, res.opt_state
+                buf_c, eps_c = res.x0_snapshots, res.eps_hist
+                pieces.append(res)
+                done += L
+                if journal is not None and done < T:
+                    _tr = lambda get: jax.tree_util.tree_map(
+                        lambda *xs: np.concatenate(
+                            [np.asarray(x) for x in xs], cat_axis),
+                        *[get(p) for p in pieces]
+                    )
+                    journal.save_partial(tag, {
+                        "done": done,
+                        "x": np.asarray(x_carry),
+                        "phi": _np_tree(phi_c),
+                        "opt": _np_tree(opt_c),
+                        "buf": None if buf_c is None else np.asarray(buf_c),
+                        "eps": (None if eps_c is None
+                                else tuple(np.asarray(e) for e in eps_c)),
+                        "traces": {
+                            "sep_loss": _tr(lambda p: p.sep_loss),
+                            "phi_trace": _tr(lambda p: p.phi_trace),
+                            "aux_trace": _tr(lambda p: p.aux_trace),
+                            "x0_std_trace": (
+                                None if res.x0_std_trace is None
+                                else _tr(lambda p: p.x0_std_trace)
+                            ),
+                        },
+                    })
+                    # fault injection (tests/test_chain_checkpoint.py): die
+                    # after the N-th boundary save, process-wide
+                    _CRASH_SAVES["n"] += 1
+                    _after = int(os.environ.get(
+                        "OSMOSIS_TPU_CRASH_AFTER_SEGMENTS", 0) or 0)
+                    if _after and _CRASH_SAVES["n"] >= _after:
+                        raise RuntimeError(
+                            "injected crash: OSMOSIS_TPU_CRASH_AFTER_SEGMENTS="
+                            f"{_after} reached"
+                        )
                 if logger is not None:
-                    logger.log(
-                        f"  resuming chain at step {done}/{T} from the chain"
-                        " checkpoint (bitwise-identical continuation)"
+                    # tiny fetches (last trace row) — this sync point IS the
+                    # progress mechanism. Lane-mean values on the fleet path.
+                    _last = lambda a: np.take(np.asarray(a), -1, axis=cat_axis)
+                    row = (
+                        f"  progress {done:4d}/{T} steps"
+                        f" (t={int(full_ts[done - 1])})"
+                        f" loss={float(_last(res.sep_loss).mean()):9.3f}"
                     )
-        # greedy segmentation: reproduces the aligned boundary layout from 0
-        # and continues cleanly from any saved (k-aligned) `done`
-        base = _segment_base(T)
-        while done < T:
-            L = base if T - done >= 2 * base else T - done
-            ts_seg = jnp.asarray(full_ts[done:done + L])
-            res = run_seg_fn(
-                params, x_carry, y, key, phi_c, opt_c, eta_s, ts_seg, buf_c,
-                eps_c,
+                    if res.x0_std_trace is not None:
+                        row += f" x0_std={float(_last(res.x0_std_trace).mean()):.3f}"
+                    phi_vals = {}
+                    for k, v in res.phi_trace.items():
+                        pv = _last(v).astype(np.float64)
+                        phi_vals[k] = np.round(
+                            pv.reshape(-1, pv.shape[-1]).mean(0), 3
+                        ).tolist()
+                    if phi_vals:
+                        row += f" {phi_vals}"
+                    logger.log(row)
+            cat = lambda get: jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=cat_axis),
+                *[get(p) for p in pieces]
             )
-            x_carry, phi_c, opt_c = res.sample, res.phi, res.opt_state
-            buf_c, eps_c = res.x0_snapshots, res.eps_hist
-            pieces.append(res)
-            done += L
-            if journal is not None and done < T:
-                _tr = lambda get: jax.tree_util.tree_map(
-                    lambda *xs: np.concatenate([np.asarray(x) for x in xs], 0),
-                    *[get(p) for p in pieces]
-                )
-                journal.save_partial(tag, {
-                    "done": done,
-                    "x": np.asarray(x_carry),
-                    "phi": _np_tree(phi_c),
-                    "opt": _np_tree(opt_c),
-                    "buf": None if buf_c is None else np.asarray(buf_c),
-                    "eps": (None if eps_c is None
-                            else tuple(np.asarray(e) for e in eps_c)),
-                    "traces": {
-                        "sep_loss": _tr(lambda p: p.sep_loss),
-                        "phi_trace": _tr(lambda p: p.phi_trace),
-                        "aux_trace": _tr(lambda p: p.aux_trace),
-                        "x0_std_trace": (
-                            None if res.x0_std_trace is None
-                            else _tr(lambda p: p.x0_std_trace)
-                        ),
-                    },
-                })
-                # fault injection (tests/test_chain_checkpoint.py): die after
-                # the N-th boundary save, process-wide
-                _CRASH_SAVES["n"] += 1
-                _after = int(os.environ.get(
-                    "OSMOSIS_TPU_CRASH_AFTER_SEGMENTS", 0) or 0)
-                if _after and _CRASH_SAVES["n"] >= _after:
-                    raise RuntimeError(
-                        "injected crash: OSMOSIS_TPU_CRASH_AFTER_SEGMENTS="
-                        f"{_after} reached"
-                    )
-            if logger is not None:
-                # tiny fetches (last trace row) — this sync point IS the
-                # progress mechanism
-                row = (
-                    f"  progress {done:4d}/{T} steps (t={int(full_ts[done - 1])})"
-                    f" loss={float(np.asarray(res.sep_loss[-1]).mean()):9.3f}"
-                )
-                if res.x0_std_trace is not None:
-                    row += f" x0_std={float(np.asarray(res.x0_std_trace[-1]).mean()):.3f}"
-                phi_vals = {
-                    k: np.round(np.asarray(v[-1, 0]).astype(np.float64), 3).tolist()
-                    for k, v in res.phi_trace.items()
-                }
-                if phi_vals:
-                    row += f" {phi_vals}"
-                logger.log(row)
-        cat = lambda get: jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs, axis=0), *[get(p) for p in pieces]
-        )
-        return GuidedResult(
-            sample=res.sample, pred_xstart=res.pred_xstart, phi=res.phi,
-            sep_loss=cat(lambda p: p.sep_loss),
-            phi_trace=cat(lambda p: p.phi_trace),
-            aux_trace=cat(lambda p: p.aux_trace),
-            x0_std_trace=(
-                cat(lambda p: p.x0_std_trace)
-                if res.x0_std_trace is not None else None
-            ),
-            opt_state=res.opt_state, x0_snapshots=res.x0_snapshots,
-            eps_hist=res.eps_hist, snapshot_steps=res.snapshot_steps,
-        )
+            return GuidedResult(
+                sample=res.sample, pred_xstart=res.pred_xstart, phi=res.phi,
+                sep_loss=cat(lambda p: p.sep_loss),
+                phi_trace=cat(lambda p: p.phi_trace),
+                aux_trace=cat(lambda p: p.aux_trace),
+                x0_std_trace=(
+                    cat(lambda p: p.x0_std_trace)
+                    if res.x0_std_trace is not None else None
+                ),
+                opt_state=res.opt_state, x0_snapshots=res.x0_snapshots,
+                eps_hist=res.eps_hist, snapshot_steps=res.snapshot_steps,
+            )
+
+        return chain
+
+    # the serial (batch_size 1) chain runner
+    _run_chain = _make_chain_fn(
+        lambda *a: run_fn(params, *a),
+        lambda *a: run_seg_fn(params, *a),
+        cat_axis=0,
+    )
 
     # cold-start phi / optimizer state (re-used as the warm-start carrier for
     # global_N>1 — the reference keeps the operator alive across global
@@ -474,13 +493,44 @@ def run_restoration(
     fleet_size = batch_size if batch_size and batch_size > 1 else 1
     if fleet_size > 1:
         from ..guidance.operators import get_operator as _get_op
-        from ..parallel.runner import make_batched_guided_runner
+        from ..parallel.runner import (
+            make_batched_guided_runner,
+            make_batched_segment_runner,
+        )
 
         fleet_operator = _get_op(operator_name, batch_size=1, **op_kwargs)
         fleet_run = make_batched_guided_runner(
             model.apply, schedule, fleet_operator, gcfg, scfg,
             sample_pattern=sample_pattern, record_every=record_every,
         )
+        fleet_seg_run = None
+        if progress_segments > 1:
+            fleet_seg_run = make_batched_segment_runner(
+                model.apply, schedule, fleet_operator, gcfg, scfg,
+                sample_pattern=sample_pattern, record_every=record_every,
+            )
+        # same segmentation/journal machinery as the serial path; the trace
+        # axis shifts by the leading lane dim and the per-lane batch-1 sample
+        # squeezes back into the next segment's [N,H,W,C] input
+        fleet_chain = _make_chain_fn(
+            lambda *a: fleet_run(params, *a),
+            (None if fleet_seg_run is None
+             else lambda *a: fleet_seg_run(params, *a)),
+            cat_axis=1,
+            recarry=lambda s: s[:, 0],
+        )
+
+        def make_chunk_journal(chunk):
+            """Per-chunk durable state: the fingerprint binds the chunk's
+            image composition so a resume with shifted membership ignores
+            the stale state instead of mis-assigning lanes."""
+            if not chain_checkpoint:
+                return None
+            import hashlib as _hl
+
+            comp = ",".join(f"{idx}:{name}" for idx, _, name, _ in chunk)
+            fp = chain_fp + "-" + _hl.sha256(comp.encode()).hexdigest()[:8]
+            return ChainJournal(out_path, f"chunk_{chunk[0][0]:05d}", fp)
 
     global_N = 1
     if sample_pattern["pattern"] == "pcgs":
@@ -506,10 +556,10 @@ def run_restoration(
 
     if fleet_size > 1:
         _run_fleet(
-            args, dataset, paths, fleet_run, params, operator, measure_config,
+            args, dataset, paths, fleet_chain, operator, measure_config,
             logger, gt_flag, image_size, fleet_size, stop_after, noiser,
             record_every, rgb_guidance, resume=resume, global_N=global_N,
-            multihost=multihost,
+            multihost=multihost, make_chunk_journal=make_chunk_journal,
         )
         if multihost:
             MH.barrier("fleet_done")
@@ -846,9 +896,10 @@ def _save_rgb_guidance_outputs(args, paths, orig_name, ref_img, sample, logger):
 
 
 def _run_fleet(
-    args, dataset, paths, fleet_run, params, operator, measure_config, logger,
+    args, dataset, paths, fleet_chain, operator, measure_config, logger,
     gt_flag, image_size, fleet_size, stop_after, noiser, record_every,
     rgb_guidance, resume=False, global_N=1, multihost=False,
+    make_chunk_journal=None,
 ):
     """Batched fleet execution: chunks of `batch_size` images through the
     vmapped guided loop (exact batch-1 semantics per image: per-image
@@ -856,7 +907,13 @@ def _run_fleet(
     GT grids, resume, global_N warm starts). The reference only nominally
     supports batch>1 (SURVEY.md section 2.7); here it is a first-class
     throughput mode. The tail chunk runs at its natural (smaller) batch —
-    one extra jit trace instead of wasted duplicate compute."""
+    one extra jit trace instead of wasted duplicate compute.
+
+    ``fleet_chain`` is a _make_chain_fn closure: segmented when
+    progress_segments > 1 (per-boundary lane-mean progress rows) and, with
+    ``make_chunk_journal`` (chain_checkpoint: True), durable at every
+    boundary — the chunk resumes MID-CHAIN after a preemption with
+    bitwise-identical results (tests/test_chain_checkpoint.py)."""
     items = []
     for i, (ref_img, ref_img_name) in enumerate(dataset):
         if i == stop_after:
@@ -899,6 +956,13 @@ def _run_fleet(
             logger.log(
                 f"tail chunk of {n_real} images: compiling a batch-{n_real} "
                 f"variant (no duplicate compute on padding)"
+            )
+        journal = make_chunk_journal(chunk) if make_chunk_journal else None
+        saved_chains = journal.load_chains() if journal is not None else {}
+        if saved_chains:
+            logger.log(
+                f"chain checkpoint: {len(saved_chains)} completed fleet "
+                "chain(s) restored from a previous run"
             )
         start_time = datetime.datetime.now()
         ys_np = np.stack([im for _, im, _, _ in chunk])
@@ -952,9 +1016,22 @@ def _run_fleet(
                 if global_N > 1:
                     logger.log(f"global iteration: {global_ii}\n")
                 eta_s = None if g_eta == 1.0 else jnp.float32(g_eta ** global_ii)
-                with prof.phase("fleet_sample"):
-                    res = fleet_run(params, xs, ys, keys, phi0s, opt0s, eta_s)
-                    res = jax.tree_util.tree_map(np.asarray, res)
+                if (try_k, global_ii) in saved_chains:
+                    res = saved_chains[(try_k, global_ii)]
+                    logger.log(
+                        f"fleet chain (restart {try_k}, global {global_ii}): "
+                        "replayed from the chain checkpoint"
+                    )
+                else:
+                    with prof.phase("fleet_sample"):
+                        res = fleet_chain(
+                            xs, ys, keys, phi0s, opt0s, eta_s, logger=logger,
+                            journal=journal, tag=(try_k, global_ii),
+                        )
+                        res = jax.tree_util.tree_map(np.asarray, res)
+                    if journal is not None:
+                        journal.save_chain(try_k, global_ii, res)
+                        journal.clear_partial()
                 phi0s = res.phi
                 # global_opt_reset (see the serial path): None re-inits cold
                 if args.sample_pattern.get("global_opt_reset"):
@@ -1023,6 +1100,9 @@ def _run_fleet(
                         for ci, v in enumerate(np.asarray(pval)[0].tolist()):
                             logger.logkv(f"{pname}_{ci}", round(float(v), 6))
                     logger.dumpkvs()
+        if journal is not None:
+            # chunk outputs exist — the durable state has served its purpose
+            journal.clear()
         logger.log(
             f"fleet chunk {c0 // fleet_size}: {n_real} images in "
             f"{datetime.datetime.now() - start_time}"

@@ -158,3 +158,84 @@ def test_crash_then_resume_bitwise(tmp_path):
     ga = pjoin(out_a, "grid_results", "img_0_process.png")
     gb = pjoin(out_b, "grid_results", "img_0_process.png")
     assert open(ga, "rb").read() == open(gb, "rb").read()
+
+
+# ------------------------------------------------- fleet (batch>1) durability
+
+def _fleet_ckpt_cfg(tmp_path, data_dir, tag, *, segments=3, checkpoint=True):
+    cfg = _cfg(tmp_path, data_dir, tag)
+    cfg["data"] = dict(cfg["data"], batch_size=2, stop_after=-1)
+    cfg["progress_segments"] = segments
+    cfg["chain_checkpoint"] = checkpoint
+    # process grids need the serial/fleet-common snapshot buffer
+    return cfg
+
+
+def test_fleet_segmented_matches_unsegmented(tmp_path):
+    """progress_segments on the fleet path: the vmapped segment runner must
+    reproduce the single-scan fleet run bitwise (per-step noise keyed on the
+    timestep value; the per-lane batch-1 carry squeezes through boundaries)."""
+    data_dir = str(tmp_path / "images")
+    _write_images(data_dir, n=2)
+
+    cfg_a = _fleet_ckpt_cfg(tmp_path, data_dir, "fa", segments=0, checkpoint=False)
+    out_a = _run(cfg_a, tmp_path, "cfg_fa")
+    cfg_b = _fleet_ckpt_cfg(tmp_path, data_dir, "fb", segments=3, checkpoint=False)
+    out_b = _run(cfg_b, tmp_path, "cfg_fb")
+
+    for img in ("img_0", "img_1"):
+        for sub in ("rgb", "depth_raw", "depth_color"):
+            pa = pjoin(out_a, "single_images", sub, f"{img}.png")
+            pb = pjoin(out_b, "single_images", sub, f"{img}.png")
+            assert open(pa, "rb").read() == open(pb, "rb").read(), (sub, img)
+    # one lane-mean progress row per boundary
+    log = open(pjoin(out_b, "log.txt")).read()
+    assert log.count("  progress ") == 3
+
+
+def test_fleet_crash_then_resume_bitwise(tmp_path):
+    """chain_checkpoint on the fleet path: a preempted chunk resumes
+    MID-CHAIN (whole batched scan state) with bitwise-identical outputs."""
+    data_dir = str(tmp_path / "images")
+    _write_images(data_dir, n=2)
+
+    cfg_a = _fleet_ckpt_cfg(tmp_path, data_dir, "ga")
+    out_a = _run(cfg_a, tmp_path, "cfg_ga")
+    assert not os.path.exists(pjoin(out_a, ".chain_state"))
+
+    from osmosis_tpu.pipelines import restore as R
+
+    cfg_b = _fleet_ckpt_cfg(tmp_path, data_dir, "gb")
+    os.environ["OSMOSIS_TPU_CRASH_AFTER_SEGMENTS"] = str(R._CRASH_SAVES["n"] + 1)
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            _run(cfg_b, tmp_path, "cfg_gb")
+    finally:
+        del os.environ["OSMOSIS_TPU_CRASH_AFTER_SEGMENTS"]
+
+    # durable chunk state exists; no image output was written
+    res_root = str(tmp_path / "results_gb")
+    crashed_runs = [
+        pjoin(dp, d) for dp, dns, _ in os.walk(res_root) for d in dns
+        if d.startswith("run")
+    ]
+    assert crashed_runs
+    state_dirs = [
+        pjoin(r, ".chain_state", "chunk_00000") for r in crashed_runs
+        if os.path.exists(pjoin(r, ".chain_state", "chunk_00000"))
+    ]
+    assert state_dirs, "no fleet chunk state persisted before the crash"
+
+    out_b = _run(cfg_b, tmp_path, "cfg_gb_resume", resume=True)
+    log = open(pjoin(out_b, "log.txt")).read()
+    assert "resuming chain at step" in log
+    assert not os.path.exists(pjoin(out_b, ".chain_state"))
+
+    for img in ("img_0", "img_1"):
+        for sub in ("rgb", "depth_raw", "depth_color"):
+            pa = pjoin(out_a, "single_images", sub, f"{img}.png")
+            pb = pjoin(out_b, "single_images", sub, f"{img}.png")
+            assert open(pa, "rb").read() == open(pb, "rb").read(), (sub, img)
+        ga = pjoin(out_a, "grid_results", f"{img}_process.png")
+        gb = pjoin(out_b, "grid_results", f"{img}_process.png")
+        assert open(ga, "rb").read() == open(gb, "rb").read()
