@@ -41,6 +41,17 @@ from types import SimpleNamespace as _SNS
 _CRASH_SAVES = {"n": 0}
 
 
+def _better_loss(new_fl, best_fl) -> bool:
+    """best_of lane selection: does a trial with final loss ``new_fl``
+    displace the current best ``best_fl``? Plain ``<`` plus an explicit NaN
+    arm — if a diverged trial 0 seeded best with NaN, `new < nan` is always
+    False and no finite later trial could ever win (ADVICE r3)."""
+    if best_fl is None:
+        return True
+    return bool(new_fl < best_fl
+                or (np.isnan(best_fl) and np.isfinite(new_fl)))
+
+
 def _grad_mode_str(cp):
     """Human-readable guidance-gradient mode for the run-config snapshot:
     x_prev / x0 (reference surface) or the hybrid schedule extension."""
@@ -726,7 +737,7 @@ def run_restoration(
             fl = float(np.asarray(trial[-1].sep_loss)[-1].mean())
             if best_of > 1:
                 logger.log(f"restart {try_k}: final loss {fl:.4f}")
-            if best_fl is None or fl < best_fl:
+            if _better_loss(fl, best_fl):
                 best_trial, best_fl = trial, fl
             if accept_loss is not None and best_fl <= float(accept_loss):
                 break
@@ -1050,10 +1061,9 @@ def _run_fleet(
                     f"{np.round(fls, 4).tolist()}"
                 )
             for j in range(n_real):
-                # trial 0 always seeds the per-lane best (mirrors the serial
-                # path's `best_fl is None` arm — NaN losses from diverged
-                # random-weight chains never win an `<` comparison)
-                if best_res[j] is None or fls[j] < best_fl[j]:
+                # trial 0 always seeds the per-lane best (best_res[j] None);
+                # _better_loss handles the NaN-seeded-lane displacement
+                if best_res[j] is None or _better_loss(fls[j], best_fl[j]):
                     best_fl[j] = fls[j]
                     best_res[j] = [
                         jax.tree_util.tree_map(lambda a: a[j], g) for g in trial

@@ -45,6 +45,47 @@ def test_journal_roundtrip(tmp_path):
     assert not os.path.exists(j.dir)
 
 
+def test_journal_roundtrip_guided_result(tmp_path):
+    """The npz+manifest format (no pickle) must round-trip the full
+    GuidedResult dataclass, including extension dtypes (bfloat16), tuple
+    fields, nested optimizer-state dicts, and None optionals."""
+    import ml_dtypes
+
+    from osmosis_tpu.diffusion.guided import GuidedResult
+
+    res = GuidedResult(
+        sample=np.ones((1, 4, 4, 4), np.float32),
+        pred_xstart=np.zeros((1, 4, 4, 4), ml_dtypes.bfloat16),
+        phi={"phi_a": np.full((1, 3), 1.1, np.float32)},
+        sep_loss=np.arange(6, dtype=np.float32).reshape(3, 2),
+        phi_trace={"phi_a": np.zeros((3, 1, 3), np.float32)},
+        aux_trace={},
+        x0_std_trace=None,
+        opt_state={"m": {"phi_a": np.zeros((1, 3))},
+                   "count": np.zeros((), np.int32)},
+        x0_snapshots=None,
+        eps_hist=(np.ones((1, 2)), np.zeros((1, 2))),
+        snapshot_steps=(29, 19, 9),
+    )
+    j = ChainJournal(str(tmp_path), "img_0", "fp")
+    j.save_chain(2, 1, res)
+    got = j.load_chains()[(2, 1)]
+    assert isinstance(got, GuidedResult)
+    np.testing.assert_array_equal(got.sample, res.sample)
+    assert got.pred_xstart.dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(
+        got.pred_xstart.astype(np.float32), res.pred_xstart.astype(np.float32)
+    )
+    np.testing.assert_array_equal(got.phi["phi_a"], res.phi["phi_a"])
+    assert got.x0_std_trace is None and got.x0_snapshots is None
+    assert got.opt_state["count"].dtype == np.int32
+    assert isinstance(got.eps_hist, tuple) and len(got.eps_hist) == 2
+    assert got.snapshot_steps == (29, 19, 9)
+    # the on-disk file must be a real npz loadable with allow_pickle=False
+    with np.load(pjoin(j.dir, "chain_2_1.npz"), allow_pickle=False) as z:
+        assert "__manifest__" in z
+
+
 def test_journal_fingerprint_staleness(tmp_path):
     j = ChainJournal(str(tmp_path), "img_0", "fp-old")
     j.save_chain(0, 0, {"v": np.ones(2)})
@@ -54,8 +95,14 @@ def test_journal_fingerprint_staleness(tmp_path):
     assert j2.load_chains() == {}
     assert j2.load_partial((0, 0)) is None
     # corrupt file → treated as absent, not an exception
-    with open(pjoin(j.dir, "chain_0_0.pkl"), "wb") as f:
-        f.write(b"not a pickle")
+    with open(pjoin(j.dir, "chain_0_0.npz"), "wb") as f:
+        f.write(b"not an npz archive")
+    assert j2.load_chains() == {}
+    # legacy pickle files (format v1) must be ignored, never unpickled
+    import pickle
+
+    with open(pjoin(j.dir, "chain_1_0.npz"), "wb") as f:
+        pickle.dump({"version": 1, "fp": "fp-new", "payload": {}}, f)
     assert j2.load_chains() == {}
 
 

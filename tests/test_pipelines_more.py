@@ -194,6 +194,22 @@ def test_fleet_gt_resume_global_n(tmp_path):
     assert log2.count("skipping image") >= 3
 
 
+def test_best_of_nan_lane_displacement():
+    """_better_loss: a NaN-seeded best lane must be displaced by any later
+    finite trial (plain `<` never fires against NaN — ADVICE r3), while a
+    NaN challenger never displaces a finite best."""
+    from osmosis_tpu.pipelines.restore import _better_loss
+
+    nan = float("nan")
+    assert _better_loss(1.0, None)          # trial 0 always seeds
+    assert _better_loss(nan, None)          # even a NaN trial 0 seeds
+    assert _better_loss(0.5, 1.0)
+    assert not _better_loss(2.0, 1.0)
+    assert _better_loss(2.0, nan)           # finite displaces NaN
+    assert not _better_loss(nan, 1.0)       # NaN never wins over finite
+    assert not _better_loss(nan, nan)
+
+
 def test_best_of_restarts(tmp_path):
     """best_of: K (extension, default 1): loss-selected seed restarts. The
     kept chain's loss must be the min of the logged restart losses, and the

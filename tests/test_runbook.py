@@ -14,6 +14,89 @@ import sys
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _telemetry_block(rows):
+    """One _log_trace_summary block exactly as restore.py writes it."""
+    lines = ["chain telemetry (scan trace; step runs t=T-1..0):"]
+    for t, loss, std in rows:
+        lines.append(
+            f"  t={t:4d} loss={loss:9.3f} x0_std={std:.3f}"
+            " {'phi_a': [1.1, 0.95, 0.95]}"
+        )
+    return "\n".join(lines)
+
+
+def _progress_row(done, total, t, std):
+    """A progress_segments live row (restore.py chain() logger) — carries an
+    x0_std= token that the contraction gate must NOT treat as chain
+    telemetry."""
+    return (f"  progress {done:4d}/{total} steps (t={t})"
+            f" loss={100.0:9.3f} x0_std={std:.3f}")
+
+
+def _write_log(tmp_path, name, text):
+    d = tmp_path / name
+    d.mkdir()
+    (d / "log.txt").write_text(text + "\n")
+    return str(d)
+
+
+def test_x0_contraction_gate_per_chain(tmp_path):
+    """VERDICT r3 weak #2: the x0_std health gate must score each chain
+    (one _log_trace_summary block) separately, not the concatenation of
+    every x0_std= token in log.txt, and must ignore progress_segments
+    rows."""
+    from tools.real_weights_runbook import check_x0_contraction
+
+    ts = [999, 888, 777, 666, 555, 444, 333, 222, 111, 0]
+
+    # healthy: contracts from 1.6 toward the scene scale by mid-chain
+    contracting = [1.6, 1.5, 1.2, 0.9, 0.6, 0.45, 0.4, 0.37, 0.35, 0.34]
+    run = _write_log(tmp_path, "ok", _telemetry_block(
+        list(zip(ts, [12.0] * 10, contracting))))
+    ok, detail = check_x0_contraction(run)
+    assert ok, detail
+
+    # off-manifold: flat amplitude — but preceded by progress rows whose
+    # large x0_std values would fake an "early max" if swallowed
+    flat = [1.0] * 10
+    text = "\n".join([
+        _progress_row(250, 1000, 749, 9.999),
+        _progress_row(500, 1000, 499, 9.999),
+        _telemetry_block(list(zip(ts, [50.0] * 10, flat))),
+    ])
+    run = _write_log(tmp_path, "flat", text)
+    ok, detail = check_x0_contraction(run)
+    assert not ok, detail
+
+    # 2-image mix that a whole-file parse mis-scores: image A flat at 1.0,
+    # image B flat at 0.5 — concatenated, vals[n//2] (0.5) is below image
+    # A's "early max" (1.0) and the gate would pass two non-contracting
+    # chains
+    text = "\n".join([
+        _telemetry_block(list(zip(ts, [50.0] * 10, [1.0] * 10))),
+        "some unrelated log line",
+        _telemetry_block(list(zip(ts, [50.0] * 10, [0.5] * 10))),
+    ])
+    run = _write_log(tmp_path, "mix", text)
+    ok, detail = check_x0_contraction(run)
+    assert not ok, detail
+
+    # and the healthy 2-image mix still passes, reporting per-chain detail
+    text = "\n".join([
+        _telemetry_block(list(zip(ts, [12.0] * 10, contracting))),
+        _telemetry_block(list(zip(ts, [12.0] * 10, [s * 2 for s in contracting]))),
+    ])
+    run = _write_log(tmp_path, "mix_ok", text)
+    ok, detail = check_x0_contraction(run)
+    assert ok, detail
+    assert "2 chain" in detail or "chains=2" in detail
+
+    # no telemetry at all -> pass-through (can't judge)
+    run = _write_log(tmp_path, "empty", "nothing here")
+    ok, detail = check_x0_contraction(run)
+    assert ok
+
+
 def test_runbook_tiny_single_preset(tmp_path):
     out = str(tmp_path / "rb")
     proc = subprocess.run(

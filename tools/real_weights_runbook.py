@@ -180,23 +180,66 @@ def check_phi_stall(cfg, run_dir, stall_rel=0.01):
     return bool(moved) and not any(moved)
 
 
+_TELEMETRY_HEADER = "chain telemetry (scan trace"
+_TELEMETRY_ROW = re.compile(
+    r"^\s+t=\s*(\d+)\s+loss=\s*\S+\s+x0_std=(\S+)"
+)
+
+
+def parse_chain_telemetry(log_path):
+    """log.txt -> one [(t, x0_std), ...] list per chain, from the post-chain
+    _log_trace_summary blocks (restore.py). Each image/chain emits its own
+    block, so contraction is judged within a chain — never across the
+    concatenation of all images' rows (VERDICT r3 weak #2). The live
+    `progress N/T ... x0_std=` rows from progress_segments don't match the
+    block-row shape and are excluded."""
+    chains, cur = [], None
+    with open(log_path) as f:
+        for line in f:
+            if _TELEMETRY_HEADER in line:
+                cur = []
+                chains.append(cur)
+                continue
+            m = _TELEMETRY_ROW.match(line) if cur is not None else None
+            if m is not None:
+                try:
+                    std = float(m.group(2))
+                except ValueError:
+                    std = float("nan")
+                cur.append((int(m.group(1)), std))
+            elif cur is not None:
+                cur = None  # any non-row line closes the block
+    return [c for c in chains if c]
+
+
 def check_x0_contraction(run_dir):
-    """Parse the post-chain trace summary's x0_std column (restore.py
-    _log_trace_summary). Healthy chains contract from the early-chain
+    """Per-chain health gate on the x0-hat amplitude telemetry (restore.py
+    _log_trace_summary). A healthy chain contracts from its early-chain
     maximum toward the prior's scene scale by mid-chain (VALIDATION.md
-    3b-iv). Returns (ok, detail)."""
+    3b-iv); every chain in the run must contract. Returns (ok, detail)."""
     log = os.path.join(run_dir, "log.txt")
     if not os.path.exists(log):
         return True, "no log"
-    with open(log) as f:
-        vals = [float(m) for m in re.findall(r"x0_std=([\d.eE+-]+)", f.read())]
-    if len(vals) < 4:
+    chains = [c for c in parse_chain_telemetry(log) if len(c) >= 4]
+    if not chains:
         return True, "no x0_std telemetry"
-    n = len(vals)
-    early_max = max(vals[: max(2, n // 4)])
-    mid = vals[n // 2]
-    ok = np.isfinite(vals).all() and mid <= early_max * 0.95
-    return bool(ok), f"early_max={early_max:.3f} mid={mid:.3f}"
+    details, all_ok = [], True
+    for ci, rows in enumerate(chains):
+        ts = np.asarray([t for t, _ in rows], float)
+        vals = np.asarray([v for _, v in rows], float)
+        # rows run t=T-1..0; "early" = the highest-t quarter of the chain,
+        # "mid" = the row nearest t=T/2 — positions inside THIS chain
+        T = ts.max() + 1
+        early = vals[ts >= 0.75 * (T - 1)]
+        early_max = float(early.max()) if early.size else float(vals[0])
+        mid = float(vals[np.argmin(np.abs(ts - T / 2))])
+        ok = bool(np.isfinite(vals).all() and mid <= early_max * 0.95)
+        all_ok &= ok
+        details.append(
+            f"chain {ci}: early_max={early_max:.3f} mid={mid:.3f} "
+            f"{'ok' if ok else 'NO CONTRACTION'}"
+        )
+    return all_ok, f"{len(chains)} chain(s): " + "; ".join(details)
 
 
 def score_run(run_dir, sim_dir, image_size=256):
