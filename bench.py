@@ -5,14 +5,19 @@ Workload per step = the reference's per-timestep cost (BASELINE.md): one UNet
 forward + one UNet backward (joint guidance gradient) + 20 physics-only phi
 gradient steps, compiled into one lax.scan on a single TPU chip, bf16 torso.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
-vs_baseline is measured against the driver's north-star target of a full
-1000-step guided 256px restoration in <10 s on one v5e chip (= 100 steps/s);
-the reference itself publishes no throughput numbers (BASELINE.md).
+Prints TWO JSON lines:
+  {"metric": "guided_denoise_steps_per_sec_256px_rgbd", ...}   # primary
+  {"metric": "fast_preset_e2e_seconds_per_image", ...}         # north star
+The first line's vs_baseline is measured against the driver's north-star
+target of a full 1000-step guided 256px restoration in <10 s on one v5e
+chip (= 100 steps/s); the reference itself publishes no throughput numbers
+(BASELINE.md). The second line runs the SHIPPED fast preset (ddim200)
+through the production pipeline on synthetic 256px inputs and reports
+steady-state seconds/image (mean of images 2-3; image 1 absorbs compile) —
+the <10 s/image north star made self-reporting (VERDICT r3 #8).
 
-Extra diagnostics (prior-sampling forward-only steps/sec, compile time,
-end-to-end seconds/image) go to stderr.
+Extra diagnostics (prior-sampling forward-only steps/sec, compile times)
+go to stderr.
 """
 
 import json
@@ -150,6 +155,51 @@ def build_prior_run(dtype=jnp.bfloat16, image_size=256):
     return run, params, x
 
 
+def bench_fast_preset_e2e(n_images=3):
+    """Steady-state s/image of the shipped fast preset through the REAL
+    pipeline (run_restoration: chain + fetch + postprocess + PNG), on
+    synthetic inputs. Returns (mean steady-state seconds, per-image list)."""
+    import json as _json
+    import os
+    import tempfile
+
+    import numpy as np
+    import yaml
+    from PIL import Image
+
+    tmp = tempfile.mkdtemp(prefix="bench_fast_")
+    data = os.path.join(tmp, "inputs")
+    os.makedirs(data)
+    rng = np.random.default_rng(0)
+    for i in range(n_images):
+        Image.fromarray(
+            rng.integers(0, 255, (256, 256, 3), dtype=np.uint8)
+        ).save(os.path.join(data, f"img_{i}.png"))
+
+    with open("configs/osmosis_sample_fast_config.yaml") as f:
+        cfg = yaml.safe_load(f)
+    cfg["save_dir"] = os.path.join(tmp, "results")
+    cfg["data"].update(root=data, stop_after=n_images, ground_truth=False)
+    # measurement-only run: keep the save path identical to production but
+    # skip the process-grid recording extra buffers
+    cfg["record_process"] = False
+    cfg_path = os.path.join(tmp, "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+
+    from osmosis_tpu.pipelines import run_restoration
+
+    run_dir = run_restoration(cfg_path)
+    rows = []
+    with open(os.path.join(run_dir, "progress.json")) as f:
+        for line in f:
+            if line.strip():
+                rows.append(_json.loads(line))
+    secs = [float(r["seconds"]) for r in rows if "seconds" in r]
+    steady = secs[1:] if len(secs) > 1 else secs
+    return float(np.mean(steady)), secs
+
+
 def main():
     from osmosis_tpu.utils.compilation_cache import enable as _enable_cache
 
@@ -208,7 +258,28 @@ def main():
             f"prior sampling {prior_sps:.1f} steps/s; reference torch-CPU "
             f"fwd alone is 27.6 s"
         ),
-    }))
+    }), flush=True)
+
+    # second line: the <10 s/image north star, self-reported through the
+    # production pipeline (VERDICT r3 #8)
+    try:
+        e2e, secs = bench_fast_preset_e2e()
+        log(f"fast preset e2e per-image seconds: {[round(s, 2) for s in secs]}")
+        print(json.dumps({
+            "metric": "fast_preset_e2e_seconds_per_image",
+            "value": round(e2e, 3),
+            "unit": "seconds/image",
+            # fraction of the <10 s/image target achieved (>1 = beating it)
+            "vs_baseline": round(10.0 / e2e, 4),
+            "note": (
+                "shipped ddim200 fast preset through run_restoration "
+                "(chain + fetch + postprocess + PNG) on synthetic 256px "
+                f"inputs; steady state = mean of images 2+; all images: "
+                f"{[round(s, 2) for s in secs]}"
+            ),
+        }))
+    except Exception as e:  # noqa: BLE001 — the primary metric must survive
+        log(f"fast-preset e2e bench failed: {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":

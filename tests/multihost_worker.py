@@ -13,6 +13,14 @@ Modes:
                   job kill leaving partial outputs on disk for the resume
                   contract to pick up (no partial PNG writes: the exit fires
                   after the save completes)
+  seg_crash     — like restore, but relies on the chainjournal fault
+                  injection (OSMOSIS_TPU_CRASH_AFTER_SEGMENTS in the env) to
+                  die MID-CHAIN at a segment boundary; the injected
+                  RuntimeError is converted to os._exit(17) so the JAX
+                  distributed runtime can't hang on teardown
+  clean         — like restore but into <outdir>/results_clean with its own
+                  report files: the uninterrupted control run for bitwise
+                  comparison against a crash-then-resume run
 
 Each process: jax.distributed.initialize on CPU → run the pipeline (images /
 sample indices stride across processes into one shared run dir) → gather a
@@ -93,8 +101,25 @@ def main():
 
     cfg_name = "cfg_resume.yaml" if mode == "resume" else "cfg.yaml"
     cfg_path = os.path.join(outdir, cfg_name)
+    results_name = "results_clean" if mode == "clean" else "results"
+    if mode == "seg_crash":
+        try:
+            run_restoration(
+                cfg_path, save_dir_override=os.path.join(outdir, "results")
+            )
+        except RuntimeError as e:
+            if "injected crash" in str(e):
+                print(f"WORKER_CRASH {pid} (segment boundary)", flush=True)
+                os._exit(17)
+            raise
+        # the OTHER rank hit the injection first and this rank never reached
+        # its own boundary quota — still a mid-job death for the test's
+        # purposes, but it must not report success
+        print(f"WORKER_CRASH {pid} (ran to completion before injection)",
+              flush=True)
+        os._exit(18)
     run_dir = run_restoration(
-        cfg_path, save_dir_override=os.path.join(outdir, "results")
+        cfg_path, save_dir_override=os.path.join(outdir, results_name)
     )
 
     # cross-host gather of a scalar metric
@@ -113,7 +138,7 @@ def main():
             f for f in os.listdir(run_dir) if f.startswith("log")
         ),
     }
-    suffix = "_resume" if mode == "resume" else ""
+    suffix = {"resume": "_resume", "clean": "_clean"}.get(mode, "")
     with open(os.path.join(outdir, f"report{suffix}_{pid}.json"), "w") as f:
         json.dump(report, f)
     print("WORKER_OK", pid)

