@@ -168,6 +168,22 @@ def bench_fast_preset_e2e(n_images=3):
     from PIL import Image
 
     tmp = tempfile.mkdtemp(prefix="bench_fast_")
+    try:
+        return _bench_fast_preset_e2e(tmp, n_images)
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _bench_fast_preset_e2e(tmp, n_images):
+    import json as _json
+    import os
+
+    import numpy as np
+    import yaml
+    from PIL import Image
+
     data = os.path.join(tmp, "inputs")
     os.makedirs(data)
     rng = np.random.default_rng(0)

@@ -102,7 +102,9 @@ def _decode(node, npz):
         return node["v"]
     if t == "arr":
         raw = npz[node["k"]]
-        arr = np.frombuffer(raw.tobytes(), dtype=_np_dtype(node["d"]))
+        # bytearray keeps the restored array WRITABLE (np.frombuffer over
+        # immutable bytes would silently hand resumed runs read-only state)
+        arr = np.frombuffer(bytearray(raw.tobytes()), dtype=_np_dtype(node["d"]))
         return arr.reshape(node["s"])
     if t == "list":
         return [_decode(x, npz) for x in node["v"]]
@@ -114,10 +116,6 @@ def _decode(node, npz):
         from ..diffusion.guided import GuidedResult  # whitelisted dataclass
 
         kw = {k: _decode(v, npz) for k, v in node["v"].items()}
-        if "snapshot_steps" in kw and kw["snapshot_steps"] is not None:
-            kw["snapshot_steps"] = tuple(kw["snapshot_steps"])
-        if kw.get("eps_hist") is not None:
-            kw["eps_hist"] = tuple(kw["eps_hist"])
         return GuidedResult(**kw)
     raise ValueError(f"unknown manifest node type {t!r}")
 

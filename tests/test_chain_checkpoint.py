@@ -30,6 +30,10 @@ def test_journal_roundtrip(tmp_path):
     loaded = j.load_chains()
     assert set(loaded) == {(0, 0), (1, 0)}
     np.testing.assert_array_equal(loaded[(0, 0)]["sample"], res["sample"])
+    # restored arrays must be WRITABLE (np.frombuffer over immutable bytes
+    # would hand resumed runs read-only state — caught in r4 review)
+    assert loaded[(0, 0)]["sample"].flags.writeable
+    loaded[(0, 0)]["phi"]["a"][0] = 7.0
 
     state = {"done": 10, "x": np.ones((1, 4)), "traces": {}}
     j.save_partial((1, 0), state)
