@@ -9,9 +9,11 @@ the compile). Each point is the SHIPPED config with only
 `diffusion.timestep_respacing` optionally overridden.
 
 Produced the PERF.md round-13 table (one v5e):
-  x0@ddim200 3.49 s/image | x0@ddim100 2.15 | hybrid@ddim200 4.29 |
-  hybrid@ddim50 1.49 — pairing with VALIDATION 3a-ii's quality grid
-  (x0 mode step-count invariant at +10.4-10.7 dB).
+  x0@ddim200 3.49 s/image | x0@ddim100 2.15 | x0@ddim50 1.24 |
+  x0@ddim25 0.82 | hybrid@ddim200 4.29 | hybrid@ddim50 1.49 —
+  pairing with VALIDATION 3a-ii's quality grid (x0 mode holds
+  +10.4-10.7 dB down to 50 steps; the 25-step rung fails the 256px
+  depth gate).
 
 Usage: python tools/bench_presets.py [all|x0_200|x0_100|x0_50|x0_25|hyb_200|hyb_50]
 """
