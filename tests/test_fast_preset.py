@@ -187,3 +187,33 @@ def test_hybrid_preset_parses():
     for k in ("save_dir", "manual_seed", "rgb_guidance", "save_singles",
               "save_grids", "record_process", "record_every"):
         assert hasattr(args, k), f"hybrid preset missing run key {k}"
+
+
+def test_x0_turbo_preset_parses():
+    """configs/osmosis_sample_x0_turbo_config.yaml: the x0 mode at ddim100
+    (2.15 s/image e2e, PERF.md round 13) — the x0 preset's knobs (halved
+    scale, gradient_x_prev False, UN-doubled phi etas per the 3a-ii
+    no-compensation finding) at the turbo step count."""
+    cfg = os.path.join(os.path.dirname(__file__), "..", "configs",
+                       "osmosis_sample_x0_turbo_config.yaml")
+    args = C.arguments_from_file(cfg)
+    assert args.diffusion["timestep_respacing"] == "ddim100"
+    p = args.conditioning["params"]
+    assert p["gradient_x_prev"] is False
+    assert p["scale"] == "3.5,3.5,3.5,0.45"  # halved, same as the x0 preset
+    gcfg = GuidanceConfig.from_config(
+        args.conditioning["method"], p, args.sample_pattern, args.aux_loss)
+    assert gcfg.gradient_x_prev is False and gcfg.x_prev_every == 1
+    sch = make_schedule(
+        noise_schedule=args.diffusion["noise_schedule"],
+        steps=args.diffusion["steps"],
+        timestep_respacing=args.diffusion["timestep_respacing"],
+        rescale_timesteps=args.diffusion["rescale_timesteps"],
+    )
+    assert sch.num_timesteps == 100
+    op = args.measurement["operator"]
+    for k in ("phi_a_eta", "phi_b_eta", "phi_inf_eta"):
+        assert float(op[k]) == 5.0e-5  # kept at the ddim200 value (3a-ii)
+    for k in ("save_dir", "manual_seed", "rgb_guidance", "save_singles",
+              "save_grids", "record_process", "record_every"):
+        assert hasattr(args, k), f"x0-turbo preset missing run key {k}"

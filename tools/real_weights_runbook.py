@@ -20,7 +20,8 @@ Stages (each writes into <out>/, default runbook_results/):
      Skipped when --sim-dir already holds input/gt_rgb/gt_depth.
   3. reference preset — the full 1000-step simulation preset through the
      production CLI, then tools/evaluate.py: PSNR/SSIM + recovered-phi MAE.
-  4. sign-off sweeps — fast (ddim200), turbo (ddim100), x0-gradient and
+  4. sign-off sweeps — fast (ddim200), turbo (ddim100), x0-gradient,
+     x0-turbo (x0 @ ddim100, VALIDATION 3a-ii's measured-best point) and
      hybrid (x_prev_every=4) presets on the same images, each scored —
      PLUS the remaining reference surfaces (one row per shipped reference
      config, VERDICT r3 weak #4):
@@ -94,13 +95,14 @@ def sh(cmd, log_path=None, check=True):
 # ---------------------------------------------------------------- presets
 
 # every shipped reference config is a runbook row (VERDICT r3 weak #4):
-# the five sweep presets share the simulation base; haze/rgb/prior use
+# the six sweep presets share the simulation base; haze/rgb/prior use
 # their own reference config's surface
 PRESET_BASES = {
     "reference": "osmosis_simulation_sample_config.yaml",
     "fast": "osmosis_simulation_sample_config.yaml",
     "turbo": "osmosis_simulation_sample_config.yaml",
     "x0": "osmosis_simulation_sample_config.yaml",
+    "x0_turbo": "osmosis_simulation_sample_config.yaml",
     "hybrid": "osmosis_simulation_sample_config.yaml",
     "haze": "osmosis_haze_sample_config.yaml",
     "rgb": "rgb_guidance_sample_config.yaml",
@@ -150,6 +152,17 @@ def make_preset_cfg(base_cfg, name, *, checkpoint, sim_dir, out_dir,
         # ratio (VALIDATION 3e scale recipe)
         params["gradient_x_prev"] = False
         params["scale"] = _scale_guidance(params["scale"], 0.5)
+    elif name == "x0_turbo":
+        # the measured-best toy-scale operating point (VALIDATION 3a-ii /
+        # PERF round 13): x0 mode at the turbo step count. Etas get the
+        # fast preset's 5x only — the 3a-ii grid measured NO further
+        # short-chain compensation needed for the x0 mode (and upscaling
+        # measured harmful at 128px)
+        params["gradient_x_prev"] = False
+        params["scale"] = _scale_guidance(params["scale"], 0.5)
+        if not tiny:
+            cfg["diffusion"].update(sampler="ddim", timestep_respacing="ddim100")
+        _scale_etas(cfg, 5.0)
     elif name == "hybrid":
         params["x_prev_every"] = 4
     elif name == "haze":
@@ -415,7 +428,7 @@ def main():
     ap.add_argument("--stop-after", type=int, default=5,
                     help="images per preset (full protocol: -1 = all)")
     ap.add_argument("--presets",
-                    default="reference,fast,turbo,x0,hybrid,haze,rgb,prior",
+                    default="reference,fast,turbo,x0,x0_turbo,hybrid,haze,rgb,prior",
                     help="comma list; one row per reference surface "
                          f"(known: {','.join(sorted(PRESET_BASES))})")
     ap.add_argument("--tiny", action="store_true",
