@@ -157,63 +157,23 @@ def build_prior_run(dtype=jnp.bfloat16, image_size=256):
 
 def bench_fast_preset_e2e(n_images=3):
     """Steady-state s/image of the shipped fast preset through the REAL
-    pipeline (run_restoration: chain + fetch + postprocess + PNG), on
-    synthetic inputs. Returns (mean steady-state seconds, per-image list)."""
-    import json as _json
+    pipeline, via the ONE shared protocol in tools/bench_presets.py
+    (run_restoration: chain + fetch + postprocess + PNG, steady state =
+    mean of images 2+). Returns (mean steady-state seconds, per-image list).
+    Paths are anchored at the repo root so the metric survives being run
+    from any cwd."""
     import os
-    import tempfile
+    import sys as _sys
 
-    import numpy as np
-    import yaml
-    from PIL import Image
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if repo not in _sys.path:
+        _sys.path.insert(0, repo)
+    from tools.bench_presets import measure_preset_e2e
 
-    tmp = tempfile.mkdtemp(prefix="bench_fast_")
-    try:
-        return _bench_fast_preset_e2e(tmp, n_images)
-    finally:
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-
-
-def _bench_fast_preset_e2e(tmp, n_images):
-    import json as _json
-    import os
-
-    import numpy as np
-    import yaml
-    from PIL import Image
-
-    data = os.path.join(tmp, "inputs")
-    os.makedirs(data)
-    rng = np.random.default_rng(0)
-    for i in range(n_images):
-        Image.fromarray(
-            rng.integers(0, 255, (256, 256, 3), dtype=np.uint8)
-        ).save(os.path.join(data, f"img_{i}.png"))
-
-    with open("configs/osmosis_sample_fast_config.yaml") as f:
-        cfg = yaml.safe_load(f)
-    cfg["save_dir"] = os.path.join(tmp, "results")
-    cfg["data"].update(root=data, stop_after=n_images, ground_truth=False)
-    # measurement-only run: keep the save path identical to production but
-    # skip the process-grid recording extra buffers
-    cfg["record_process"] = False
-    cfg_path = os.path.join(tmp, "cfg.yaml")
-    with open(cfg_path, "w") as f:
-        yaml.dump(cfg, f)
-
-    from osmosis_tpu.pipelines import run_restoration
-
-    run_dir = run_restoration(cfg_path)
-    rows = []
-    with open(os.path.join(run_dir, "progress.json")) as f:
-        for line in f:
-            if line.strip():
-                rows.append(_json.loads(line))
-    secs = [float(r["seconds"]) for r in rows if "seconds" in r]
-    steady = secs[1:] if len(secs) > 1 else secs
-    return float(np.mean(steady)), secs
+    steady, secs, _wall = measure_preset_e2e(
+        os.path.join(repo, "configs", "osmosis_sample_fast_config.yaml"),
+        n_images=n_images, tag="fast")
+    return steady, secs
 
 
 def main():

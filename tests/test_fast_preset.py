@@ -44,6 +44,32 @@ def test_fast_preset_parses_and_respaces():
     assert args.unet_model["use_fp16"] is True  # bf16 torso on TPU
 
 
+def test_bench_e2e_uses_shared_protocol_and_is_cwd_independent(tmp_path,
+                                                              monkeypatch):
+    """bench.py's north-star line and tools/bench_presets.py must share ONE
+    measurement protocol (review r4): bench_fast_preset_e2e delegates to
+    measure_preset_e2e with a repo-root-anchored config path, so the second
+    JSON line survives running bench.py from any cwd."""
+    import bench
+    from tools import bench_presets
+
+    seen = {}
+
+    def fake_measure(config_path, respacing=None, n_images=3, tag=""):
+        seen.update(config_path=config_path, respacing=respacing,
+                    n_images=n_images)
+        return 1.23, [9.9, 1.23], 11.1
+
+    monkeypatch.setattr(bench_presets, "measure_preset_e2e", fake_measure)
+    monkeypatch.chdir(tmp_path)  # not the repo root
+    steady, secs = bench.bench_fast_preset_e2e(n_images=2)
+    assert steady == 1.23 and secs == [9.9, 1.23]
+    assert os.path.isabs(seen["config_path"]) and os.path.exists(
+        seen["config_path"])
+    assert seen["config_path"].endswith("osmosis_sample_fast_config.yaml")
+    assert seen["respacing"] is None and seen["n_images"] == 2
+
+
 def test_phi_recovery_on_respaced_chain():
     """The oracle-denoiser phi-recovery experiment of test_phi_recovery.py,
     on a 5x-respaced chain with 5x etas — the fast preset's structure."""

@@ -97,6 +97,41 @@ def test_x0_contraction_gate_per_chain(tmp_path):
     assert ok
 
 
+def test_runbook_prebuilt_simdir_skips_haze_instead_of_aborting(
+        tmp_path, monkeypatch):
+    """Review r4: `--sim-dir <prebuilt>` without --gt-rgb/--gt-depth is a
+    documented invocation; with haze in the default preset list it must run
+    the other surfaces and flag haze as skipped, not ap.error out before
+    any preset runs."""
+    import tools.real_weights_runbook as rb
+
+    ckpt = tmp_path / "ck.pt"
+    ckpt.write_bytes(b"x")
+    sim = tmp_path / "sim"
+    sim.mkdir()
+    out = tmp_path / "out"
+
+    calls = []
+    monkeypatch.setattr(rb, "sh", lambda cmd, log_path=None, check=True:
+                        "parity ok\nrel err 0\nconverted\n")
+    monkeypatch.setattr(rb, "run_preset",
+                        lambda name, ctx, report:
+                        (calls.append(name),
+                         report["presets"].setdefault(name, {"ran": True})))
+    monkeypatch.setattr(sys, "argv", [
+        "real_weights_runbook.py", "--checkpoint", str(ckpt),
+        "--sim-dir", str(sim), "--out", str(out),
+        "--presets", "reference,fast,haze,prior"])
+    rb.main()
+
+    assert calls == ["reference", "fast", "prior"]  # haze dropped, rest ran
+    with open(out / "RUNBOOK_REPORT.json") as f:
+        report = json.load(f)
+    assert "skipped" in report["presets"]["haze"]
+    md = (out / "RUNBOOK_REPORT.md").read_text()
+    assert "SKIPPED" in md  # the skip is visible in the report table
+
+
 def test_runbook_tiny_single_preset(tmp_path):
     out = str(tmp_path / "rb")
     proc = subprocess.run(

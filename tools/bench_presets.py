@@ -41,8 +41,16 @@ POINTS = {
 }
 
 
-def run_point(config, respacing=None, n_images=3, tag=""):
-    """One operating point; prints a one-line JSON result row."""
+def measure_preset_e2e(config_path, respacing=None, n_images=3, tag=""):
+    """Run one shipped preset end-to-end on synthetic 256px inputs.
+
+    The ONE measurement protocol shared by bench.py's north-star line and
+    this tool (so the two stay comparable by construction): chain + fetch
+    + postprocess + PNG through `run_restoration`, steady state = mean of
+    images 2+ (image 1 absorbs the compile).
+
+    Returns (steady_mean_seconds, per_image_seconds, total_wall_seconds).
+    """
     tmp = tempfile.mkdtemp(prefix=f"bench_{tag}_")
     try:
         data = os.path.join(tmp, "inputs")
@@ -52,7 +60,7 @@ def run_point(config, respacing=None, n_images=3, tag=""):
             Image.fromarray(
                 rng.integers(0, 255, (256, 256, 3), dtype=np.uint8)
             ).save(os.path.join(data, f"img_{i}.png"))
-        with open(os.path.join(REPO, "configs", config)) as f:
+        with open(config_path) as f:
             cfg = yaml.safe_load(f)
         cfg["save_dir"] = os.path.join(tmp, "results")
         cfg["data"].update(root=data, stop_after=n_images, ground_truth=False)
@@ -74,21 +82,31 @@ def run_point(config, respacing=None, n_images=3, tag=""):
                     rows.append(json.loads(line))
         secs = [float(r["seconds"]) for r in rows if "seconds" in r]
         steady = secs[1:] if len(secs) > 1 else secs
-        print(json.dumps({
-            "point": tag, "config": config, "respacing": respacing,
-            "steady_s_per_image": round(float(np.mean(steady)), 3),
-            "per_image": [round(s, 2) for s in secs],
-            "total_wall_incl_compile": round(wall, 1),
-        }), flush=True)
+        return float(np.mean(steady)), secs, wall
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_point(config, respacing=None, n_images=3, tag=""):
+    """One operating point; prints a one-line JSON result row."""
+    steady, secs, wall = measure_preset_e2e(
+        os.path.join(REPO, "configs", config), respacing, n_images, tag)
+    print(json.dumps({
+        "point": tag, "config": config, "respacing": respacing,
+        "steady_s_per_image": round(steady, 3),
+        "per_image": [round(s, 2) for s in secs],
+        "total_wall_incl_compile": round(wall, 1),
+    }), flush=True)
+
+
 def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which != "all" and which not in POINTS:
+        sys.exit(f"unknown operating point {which!r}; valid: "
+                 f"all {' '.join(POINTS)}")
     from osmosis_tpu.utils.compilation_cache import enable as _enable_cache
 
     _enable_cache()
-    which = sys.argv[1] if len(sys.argv) > 1 else "all"
     for tag, (cfg, resp) in POINTS.items():
         if which in ("all", tag):
             run_point(cfg, resp, tag=tag)

@@ -509,8 +509,16 @@ def main():
                log_path=os.path.join(args.out, "stage2_simulate.log"))
         if "haze" in presets and not args.sim_dir_haze:
             if not (args.gt_rgb and args.gt_depth):
-                ap.error("the haze preset needs --sim-dir-haze or "
-                         "--gt-rgb/--gt-depth")
+                # a pre-built --sim-dir run can't synthesize the haze set;
+                # run every other surface and flag haze instead of aborting
+                # the whole runbook (it is in the default preset list)
+                print("[runbook] skipping haze preset: needs --sim-dir-haze "
+                      "or --gt-rgb/--gt-depth to build one", file=sys.stderr)
+                presets = [p for p in presets if p != "haze"]
+                report["presets"]["haze"] = {
+                    "skipped": "no --sim-dir-haze and no --gt-rgb/--gt-depth "
+                               "to build one"}
+        if "haze" in presets and not args.sim_dir_haze:
             args.sim_dir_haze = os.path.join(args.out, "sim_haze")
             sh([sys.executable, os.path.join(TOOLS, "simulate_degraded.py"),
                 "--out", args.sim_dir_haze, "--gt-rgb", args.gt_rgb,
@@ -540,10 +548,13 @@ def main():
         notes = []
         if e.get("phi_stall_sgd"):
             notes.append(f"phi stalled on sgd; kept {e['kept']}")
+        if e.get("skipped"):
+            notes.append(f"SKIPPED: {e['skipped']}")
+        contraction = e.get("x0_std_contraction", {}).get("ok", "n/a")
         lines.append(
             f"| {name} | {s.get('psnr_mean', 'n/a')} | "
             f"{s.get('ssim_mean', 'n/a')} | {s.get('phi_mae', 'n/a')} | "
-            f"{e['x0_std_contraction']['ok']} | {'; '.join(notes) or '-'} |"
+            f"{contraction} | {'; '.join(notes) or '-'} |"
         )
     lines += ["", "Paper protocol: PSNR/SSIM vs GT on the NYUv2-simulated set "
               "(reference README.md:93-106). Compare against the paper's "
