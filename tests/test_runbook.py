@@ -97,6 +97,45 @@ def test_x0_contraction_gate_per_chain(tmp_path):
     assert ok
 
 
+def test_phi_stall_gate_requires_high_final_loss(tmp_path):
+    """Review r4: frozen phi with a low final loss is a CONVERGED run
+    (init near truth), not a stall — the gate must not trigger the hours-
+    long adam re-run for it. Frozen phi + flat loss stays a stall."""
+    from tools.real_weights_runbook import check_phi_stall
+
+    cfg = dict(measurement=dict(operator=dict(
+        name="underwater_physical_revised", optimizer="sgd",
+        phi_a="1.1,0.95,0.95", phi_a_eta=1e-5, phi_a_learn_flag=True,
+        phi_b="0.95,0.8,0.8", phi_b_eta=0.0,
+        phi_inf="0.14,0.29,0.49", phi_inf_eta=0.0)))
+    frozen = {"phi_a_0": 1.1, "phi_a_1": 0.95, "phi_a_2": 0.95}
+    ts = [40, 30, 20, 10, 0]
+
+    def mk(name, losses):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "progress.json").write_text(json.dumps(frozen) + "\n")
+        (d / "log.txt").write_text(_telemetry_block(
+            list(zip(ts, losses, [1.0, 0.8, 0.6, 0.5, 0.5]))) + "\n")
+        return str(d)
+
+    # loss driven down 100 -> 5 while phi froze: converged, NOT a stall
+    assert check_phi_stall(cfg, mk("converged", [100, 60, 30, 10, 5])) is False
+    # loss flat at its max while phi froze: a real stall
+    assert check_phi_stall(cfg, mk("stuck", [100, 99, 98, 97, 96])) is True
+    # no telemetry -> displacement-only verdict is kept (old behavior)
+    d = tmp_path / "nolog"
+    d.mkdir()
+    (d / "progress.json").write_text(json.dumps(frozen) + "\n")
+    assert check_phi_stall(cfg, str(d)) is True
+    # phi actually moved -> never a stall regardless of loss
+    moved = dict(frozen, phi_a_0=0.9)
+    d = tmp_path / "moved"
+    d.mkdir()
+    (d / "progress.json").write_text(json.dumps(moved) + "\n")
+    assert check_phi_stall(cfg, str(d)) is False
+
+
 def test_runbook_prebuilt_simdir_skips_haze_instead_of_aborting(
         tmp_path, monkeypatch):
     """Review r4: `--sim-dir <prebuilt>` without --gt-rgb/--gt-depth is a

@@ -38,19 +38,32 @@ def bench_variant(name, patch=None, image_size=256, batch=1, attn=(8, 16, 32)):
 
     from flax import linen as _nn
 
+    def _epilogue(h, film, act, dtype):
+        # match GroupNorm32's fused FiLM/SiLU epilogue so the ablation
+        # isolates ONLY the norm-statistics cost (GroupNorm32.__call__
+        # takes film=/act= since the fused-norm refactor)
+        if film is not None:
+            s, t = film
+            h = h * (1.0 + s) + t
+        if act == "silu":
+            h = h * jax.nn.sigmoid(h)
+        return h.astype(dtype)
+
     class IdentityGN(_nn.Module):
         num_groups: int = 32
         epsilon: float = 1e-5
         num_channels: int = None
 
         @_nn.compact
-        def __call__(self, x, channel_offset: int = 0):
+        def __call__(self, x, channel_offset: int = 0, film=None,
+                     act: str = None):
             c_total = self.num_channels or x.shape[-1]
             c = x.shape[-1]
             scale = self.param("scale", _nn.initializers.ones, (c_total,), jnp.float32)
             bias = self.param("bias", _nn.initializers.zeros, (c_total,), jnp.float32)
             sl = slice(channel_offset, channel_offset + c)
-            return (x.astype(jnp.float32) * scale[sl] + bias[sl]).astype(x.dtype)
+            h = x.astype(jnp.float32) * scale[sl] + bias[sl]
+            return _epilogue(h, film, act, x.dtype)
 
     class Bf16GN(_nn.Module):
         num_groups: int = 32
@@ -58,7 +71,8 @@ def bench_variant(name, patch=None, image_size=256, batch=1, attn=(8, 16, 32)):
         num_channels: int = None
 
         @_nn.compact
-        def __call__(self, x, channel_offset: int = 0):
+        def __call__(self, x, channel_offset: int = 0, film=None,
+                     act: str = None):
             c = x.shape[-1]
             assert channel_offset == 0 and (self.num_channels or c) == c, (
                 "bf16_gn ablation does not support the concat-free slicing")
@@ -71,17 +85,22 @@ def bench_variant(name, patch=None, image_size=256, batch=1, attn=(8, 16, 32)):
             var = xg.var(axis=(1, 3), keepdims=True)
             xg = (xg - mean) * jax.lax.rsqrt(var + 1e-5)
             x2 = xg.reshape((x.shape[0],) + spatial + (c,))
-            return (x2 * scale + bias).astype(x.dtype)
+            return _epilogue(x2 * scale + bias, film, act, x.dtype)
 
     orig_gn = onn.GroupNorm32
     orig_silu = onn.silu
+    orig_silu_raw = onn._silu_raw
     try:
         if patch == "identity_gn":
             onn.GroupNorm32 = IdentityGN
         elif patch == "bf16_gn":
             onn.GroupNorm32 = Bf16GN
         elif patch == "no_silu":
+            # the spatial SiLUs run through _silu_raw inside GroupNorm32's
+            # fused path — patch it too or only the two embedding-MLP
+            # SiLUs are removed and the row misattributes SiLU cost
             onn.silu = lambda x: x
+            onn._silu_raw = lambda x: x
 
         cfg = UNetConfig(
             image_size=image_size, in_channels=4, out_channels=8,
@@ -117,6 +136,7 @@ def bench_variant(name, patch=None, image_size=256, batch=1, attn=(8, 16, 32)):
     finally:
         onn.GroupNorm32 = orig_gn
         onn.silu = orig_silu
+        onn._silu_raw = orig_silu_raw
 
 
 def main():

@@ -43,9 +43,13 @@ def main():
 
         _enable()
 
-    from bench import build_guided_run
+    import bench
 
-    run, params, x, y = build_guided_run()
+    # the chain length the builder compiles is the module-global
+    # bench.BENCH_STEPS — pin it to --steps (same pattern as
+    # profile_guided.py) so the reported "steps" matches the executable
+    bench.BENCH_STEPS = args.steps
+    run, params, x, y = bench.build_guided_run()
     # rebuild with explicit donation if requested
     if args.donate:
         inner = run.__wrapped__

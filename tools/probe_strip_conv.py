@@ -129,18 +129,25 @@ def bench(fn, x, wts, iters, label):
 
     run = jax.jit(lambda x0: jax.lax.scan(scan_body, x0, None, length=iters))
     out = run(x)
-    np.asarray(out[1])  # force
-    t0 = time.perf_counter()
-    out = run(x)
-    np.asarray(out[1])
-    dt = (time.perf_counter() - t0) / iters * 1e3
-    print(f"{label:8s} {dt:7.3f} ms/iter (fwd+bwd resblock core)")
+    np.asarray(out[1])  # compile + warm
+    # CLAUDE.md timing rule: never trust single-call or low-N timings on
+    # the relay (~40-100 ms dispatch) — long scan inside ONE executable,
+    # min of 3 timed calls
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run(x)
+        np.asarray(out[1])
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts) / iters * 1e3
+    print(f"{label:8s} {dt:7.3f} ms/iter (fwd+bwd resblock core, "
+          f"min of 3 x {iters}-iter scans)")
     return dt
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=40)
+    ap.add_argument("--iters", type=int, default=1000)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--channels", type=int, default=256)
     ap.add_argument("--strips", type=int, default=32)

@@ -204,10 +204,13 @@ def parse_phi_rows(run_dir):
     return rows
 
 
-def check_phi_stall(cfg, run_dir, stall_rel=0.01):
+def check_phi_stall(cfg, run_dir, stall_rel=0.01, loss_high_rel=0.5):
     """True (stalled) when every learned phi channel moved <1% from its
-    init on every image — with a nonzero eta that means the optimizer is
-    stuck (FUTURE.md #1: retry with adam)."""
+    init on every image WHILE the measurement loss stayed high — with a
+    nonzero eta that means the optimizer is stuck (FUTURE.md #1: retry
+    with adam). A run whose phi froze because the init was already near
+    truth announces itself with a low final loss and is NOT a stall (no
+    point re-running hours of chain on adam)."""
     rows = parse_phi_rows(run_dir)
     if not rows:
         return False
@@ -228,17 +231,32 @@ def check_phi_stall(cfg, run_dir, stall_rel=0.01):
                     continue
                 denom = max(abs(iv), 1e-6)
                 moved.append(abs(fv - iv) / denom >= stall_rel)
-    return bool(moved) and not any(moved)
+    if not (bool(moved) and not any(moved)):
+        return False
+    # phi froze — only a stall if the loss was NOT driven down. Judge from
+    # the per-chain telemetry (rows run t=T-1..0, so the last row is the
+    # chain's final loss); without telemetry keep the displacement verdict.
+    log = os.path.join(run_dir, "log.txt")
+    if os.path.exists(log):
+        per_chain_converged = []
+        for chain in parse_chain_telemetry(log):
+            ls = np.asarray([loss for _, loss, _ in chain], float)
+            ls = ls[np.isfinite(ls)]
+            if ls.size >= 2 and ls.max() > 0:
+                per_chain_converged.append(ls[-1] <= loss_high_rel * ls.max())
+        if per_chain_converged and all(per_chain_converged):
+            return False
+    return True
 
 
 _TELEMETRY_HEADER = "chain telemetry (scan trace"
 _TELEMETRY_ROW = re.compile(
-    r"^\s+t=\s*(\d+)\s+loss=\s*\S+\s+x0_std=(\S+)"
+    r"^\s+t=\s*(\d+)\s+loss=\s*(\S+)\s+x0_std=(\S+)"
 )
 
 
 def parse_chain_telemetry(log_path):
-    """log.txt -> one [(t, x0_std), ...] list per chain, from the post-chain
+    """log.txt -> one [(t, loss, x0_std), ...] list per chain, from the post-chain
     _log_trace_summary blocks (restore.py). Each image/chain emits its own
     block, so contraction is judged within a chain — never across the
     concatenation of all images' rows (VERDICT r3 weak #2). The live
@@ -254,10 +272,14 @@ def parse_chain_telemetry(log_path):
             m = _TELEMETRY_ROW.match(line) if cur is not None else None
             if m is not None:
                 try:
-                    std = float(m.group(2))
+                    loss = float(m.group(2))
+                except ValueError:
+                    loss = float("nan")
+                try:
+                    std = float(m.group(3))
                 except ValueError:
                     std = float("nan")
-                cur.append((int(m.group(1)), std))
+                cur.append((int(m.group(1)), loss, std))
             elif cur is not None:
                 cur = None  # any non-row line closes the block
     return [c for c in chains if c]
@@ -276,8 +298,8 @@ def check_x0_contraction(run_dir):
         return True, "no x0_std telemetry"
     details, all_ok = [], True
     for ci, rows in enumerate(chains):
-        ts = np.asarray([t for t, _ in rows], float)
-        vals = np.asarray([v for _, v in rows], float)
+        ts = np.asarray([r[0] for r in rows], float)
+        vals = np.asarray([r[-1] for r in rows], float)
         # rows run t=T-1..0; "early" = the highest-t quarter of the chain,
         # "mid" = the row nearest t=T/2 — positions inside THIS chain
         T = ts.max() + 1
@@ -307,18 +329,18 @@ def score_run(run_dir, sim_dir, image_size=256, use_manifest=True):
     if use_manifest and os.path.exists(manifest):
         cmd += ["--manifest", manifest, "--run", run_dir]
     out = sh(cmd, check=False)
-    m = re.search(r"\{.*\}", out, re.DOTALL)
-    return json.loads(m.group(0)) if m else {"error": "no score parsed"}
-
-
-def find_run_dir(save_dir):
-    """The pipeline returns its run dir; when driven by CLI we find the
-    newest rgb dir under save_dir."""
-    hits = []
-    for root, dirs, files in os.walk(save_dir):
-        if os.path.basename(root) == "single_images":
-            hits.append(os.path.dirname(root))
-    return max(hits, key=os.path.getmtime) if hits else None
+    # evaluate.py prints its report as ONE JSON line on stdout, but stderr
+    # is merged (stray brace-bearing warnings/tracebacks) — parse the LAST
+    # line that decodes as a JSON object rather than a greedy brace match,
+    # and never let a parse failure abort the runbook mid-sweep
+    for line in reversed(out.splitlines()):
+        line = line.strip()
+        if line.startswith("{") and line.endswith("}"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return {"error": "no score parsed", "tail": out.splitlines()[-3:]}
 
 
 # ------------------------------------------------------------------- main
@@ -439,6 +461,16 @@ def main():
     unknown = [p for p in presets if p not in PRESET_BASES]
     if unknown:
         ap.error(f"unknown presets: {unknown}")
+
+    # stage subprocesses run with cwd=REPO while the in-process pipeline
+    # stages run in the caller's cwd — absolutize every path argument so a
+    # launch from outside the repo root doesn't split artifacts across two
+    # relative dirs (or lose the stage-1 checkpoint)
+    for attr in ("checkpoint", "gt_rgb", "gt_depth", "sim_dir",
+                 "sim_dir_haze", "out"):
+        v = getattr(args, attr)
+        if v:
+            setattr(args, attr, os.path.abspath(v))
 
     os.makedirs(args.out, exist_ok=True)
     report = {"checkpoint": args.checkpoint, "presets": {}}

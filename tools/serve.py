@@ -131,6 +131,13 @@ class Restorer:
         img = Image.open(io.BytesIO(img_bytes)).convert("RGB")
         ref = preprocess_image(img, self.image_size)[None]  # [1,H,W,3] in [-1,1]
         y = self.noiser(self._jax.numpy.asarray(ref), key=jax.random.key(seed + 1))
+        if getattr(self.args, "degamma_input", False):
+            # same linearization, same noise-then-degamma order as the CLI
+            # pipeline (restore.py) — the haze preset guides against the
+            # degamma'd measurement
+            from osmosis_tpu.data import transforms as TR
+
+            y = self._jax.numpy.asarray(TR.degamma(np.asarray(y)))
 
         key = jax.random.key(seed)
         x = jax.random.normal(jax.random.fold_in(key, 0), ref.shape[:3] + (4,))

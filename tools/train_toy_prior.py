@@ -273,7 +273,11 @@ def main():
             print(f"step {done:6d}  loss {float(mean_l):.4f} "
                   f"(last {float(last_l):.4f})  {done / el:.1f} steps/s",
                   file=sys.stderr, flush=True)
-        if args.save_every and done % args.save_every == 0 and done < args.steps:
+        # fire on every --save-every boundary CROSSED this chunk (the exact
+        # done % save_every == 0 form only fires at lcm(chunk, save_every),
+        # halving or worse the promised crash-protection frequency)
+        if (args.save_every and done < args.steps
+                and done // args.save_every > (done - args.chunk) // args.save_every):
             _save(ema, params)
             print(f"checkpointed at step {done}", file=sys.stderr, flush=True)
 

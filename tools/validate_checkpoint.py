@@ -349,7 +349,8 @@ def main():
         gt_dir = run_cfg["data"].get("gt_rgb")
         rgb_dir = os.path.join(run_dir, "single_images", "rgb")
         if gt_dir and os.path.isdir(gt_dir) and os.path.isdir(rgb_dir):
-            sys.path.insert(0, os.path.dirname(__file__))
+            # ONE scoring protocol across tools: evaluate.py's pairing /
+            # resize rules (a change there must not silently diverge here)
             import importlib.util
 
             spec = importlib.util.spec_from_file_location(
@@ -358,20 +359,11 @@ def main():
             ev = importlib.util.module_from_spec(spec)
             spec.loader.exec_module(ev)
 
-            from osmosis_tpu.data.datasets import natsorted
-
-            res_files = natsorted(os.listdir(rgb_dir))
-            gt_files = natsorted(os.listdir(gt_dir))[: len(res_files)]
-            psnrs, ssims = [], []
-            for rf, gf in zip(res_files, gt_files):
-                a = ev.load01(os.path.join(rgb_dir, rf))
-                b = ev.load01(os.path.join(gt_dir, gf), size=a.shape[0])
-                psnrs.append(ev.psnr(a, b))
-                ssims.append(ev.ssim(a, b))
-            summary["psnr_mean"] = round(float(np.mean(psnrs)), 3)
-            summary["ssim_mean"] = round(float(np.mean(ssims)), 4)
+            scores = ev.evaluate_dirs(rgb_dir, gt_dir)
+            summary["psnr_mean"] = round(scores["psnr"], 3)
+            summary["ssim_mean"] = round(scores["ssim"], 4)
             print(f"[score] PSNR {summary['psnr_mean']} / SSIM {summary['ssim_mean']} "
-                  f"over {len(psnrs)} images")
+                  f"over {scores['n']} images")
         else:
             print("[score] no GT directory in preset — skipped")
 
