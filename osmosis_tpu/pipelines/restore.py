@@ -977,8 +977,6 @@ def _run_fleet(
             )
         start_time = datetime.datetime.now()
         ys_np = np.stack([im for _, im, _, _ in chunk])
-        if getattr(args, "degamma_input", False):
-            ys_np = TR.degamma(ys_np)
         # per-image measurement-noise keys — identical stream to the serial
         # path's fold_in(key(manual_seed+1), dataset_index)
         ys = jnp.stack([
@@ -986,6 +984,11 @@ def _run_fleet(
                    key=jax.random.fold_in(noise_root, chunk[j][0]))[0]
             for j in range(n_real)
         ])
+        # noise first, THEN degamma — same order as the serial path and the
+        # reference (osmosis_sampling.py:170-175); applying degamma before
+        # the noiser gave fleet lanes a different measurement than serial
+        if getattr(args, "degamma_input", False):
+            ys = jnp.asarray(TR.degamma(np.asarray(ys)))
 
         _ges = args.sample_pattern.get("global_eta_scale")  # 0.0 legal
         g_eta = 1.0 if _ges is None else float(_ges)

@@ -84,14 +84,14 @@ def test_simulation_gt_pipeline(tmp_path):
 
 def _fleet_cfg(tmp_path, root, batch_size, *, noise=None, gt=None, global_N=1,
                resume=False, subdir="results", pattern_extra=None,
-               optimizer=("sgd", 1e-5)):
+               optimizer=("sgd", 1e-5), degamma=False):
     data = dict(batch_size=batch_size, name="fleetpar", root=root,
                 stop_after=-1, ground_truth=gt is not None)
     if gt is not None:
         data.update(gt_rgb=gt[0], gt_depth=gt[1])
     cfg = dict(
         save_dir=str(tmp_path / subdir),
-        degamma_input=False, manual_seed=0, rgb_guidance=False,
+        degamma_input=degamma, manual_seed=0, rgb_guidance=False,
         save_singles=True, save_grids=gt is not None,
         record_process=False, record_every=20,
         resume=resume,
@@ -162,6 +162,30 @@ def test_fleet_matches_serial_with_gaussian_noise(tmp_path):
         for k in r:
             if k.startswith("phi_"):
                 assert np.isclose(r[k], s[k], atol=2e-6), (k, r[k], s[k])
+
+
+def test_fleet_matches_serial_with_degamma_and_noise(tmp_path):
+    """Review r4: the fleet path applied degamma BEFORE the measurement
+    noise while the serial path (and the reference, osmosis_sampling.py:
+    170-175) noises first then degammas — with both knobs on, fleet lanes
+    guided against a different measurement than serial."""
+    from osmosis_tpu.pipelines import run_restoration
+
+    root = str(tmp_path / "imgs")
+    _write_images(root, n=2)
+    noise = dict(name="gaussian", sigma=0.05)
+
+    out_serial = run_restoration(_fleet_cfg(tmp_path, root, 1, noise=noise,
+                                            degamma=True, subdir="serial_dg"))
+    out_fleet = run_restoration(_fleet_cfg(tmp_path, root, 2, noise=noise,
+                                           degamma=True, subdir="fleet_dg"))
+    for i in range(2):
+        a = np.asarray(Image.open(pjoin(out_serial, "single_images", "rgb",
+                                        f"img_{i}.png")), dtype=np.int16)
+        b = np.asarray(Image.open(pjoin(out_fleet, "single_images", "rgb",
+                                        f"img_{i}.png")), dtype=np.int16)
+        assert np.abs(a - b).max() <= 1, (
+            f"fleet degamma+noise diverged from serial on img_{i}")
 
 
 def test_fleet_gt_resume_global_n(tmp_path):
