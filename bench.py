@@ -5,16 +5,20 @@ Workload per step = the reference's per-timestep cost (BASELINE.md): one UNet
 forward + one UNet backward (joint guidance gradient) + 20 physics-only phi
 gradient steps, compiled into one lax.scan on a single TPU chip, bf16 torso.
 
-Prints TWO JSON lines:
-  {"metric": "guided_denoise_steps_per_sec_256px_rgbd", ...}   # primary
+Prints TWO JSON lines, in this order (the CONTRACT, pinned by
+tests/test_bench_contract.py — the driver records the LAST stdout JSON
+line as the round's parsed metric, VERDICT r4 weak #1):
   {"metric": "fast_preset_e2e_seconds_per_image", ...}         # north star
-The first line's vs_baseline is measured against the driver's north-star
+  {"metric": "guided_denoise_steps_per_sec_256px_rgbd", ...}   # primary, LAST
+The primary line's vs_baseline is measured against the driver's north-star
 target of a full 1000-step guided 256px restoration in <10 s on one v5e
 chip (= 100 steps/s); the reference itself publishes no throughput numbers
-(BASELINE.md). The second line runs the SHIPPED fast preset (ddim200)
+(BASELINE.md). The e2e line runs the SHIPPED fast preset (ddim200)
 through the production pipeline on synthetic 256px inputs and reports
 steady-state seconds/image (mean of images 2-3; image 1 absorbs compile) —
-the <10 s/image north star made self-reporting (VERDICT r3 #8).
+the <10 s/image north star made self-reporting (VERDICT r3 #8) — plus a
+`chain_finite` health stamp so a timed-but-diverged random-init chain is
+never mistaken for a real restoration (VERDICT r4 weak #4).
 
 Extra diagnostics (prior-sampling forward-only steps/sec, compile times)
 go to stderr.
@@ -159,9 +163,9 @@ def bench_fast_preset_e2e(n_images=3):
     """Steady-state s/image of the shipped fast preset through the REAL
     pipeline, via the ONE shared protocol in tools/bench_presets.py
     (run_restoration: chain + fetch + postprocess + PNG, steady state =
-    mean of images 2+). Returns (mean steady-state seconds, per-image list).
-    Paths are anchored at the repo root so the metric survives being run
-    from any cwd."""
+    mean of images 2+). Returns (mean steady-state seconds, per-image list,
+    chain_finite flag). Paths are anchored at the repo root so the metric
+    survives being run from any cwd."""
     import os
     import sys as _sys
 
@@ -170,10 +174,60 @@ def bench_fast_preset_e2e(n_images=3):
         _sys.path.insert(0, repo)
     from tools.bench_presets import measure_preset_e2e
 
-    steady, secs, _wall = measure_preset_e2e(
+    steady, secs, _wall, chain_finite = measure_preset_e2e(
         os.path.join(repo, "configs", "osmosis_sample_fast_config.yaml"),
         n_images=n_images, tag="fast")
-    return steady, secs
+    return steady, secs, chain_finite
+
+
+def emit_results(guided_sps, prior_sps, e2e=None):
+    """Print the driver-facing JSON lines. CONTRACT (tests/
+    test_bench_contract.py): the LAST stdout JSON line is ALWAYS the
+    primary metric `guided_denoise_steps_per_sec_256px_rgbd` — the driver
+    parses the last line into BENCH_r{N}.json, and round 4 lost the
+    primary from the artifact because the e2e line printed after it
+    (VERDICT r4 weak #1). The e2e north-star line, when measured, prints
+    BEFORE it and carries the chain_finite health stamp.
+
+    e2e: None, or (steady_seconds, per_image_seconds, chain_finite).
+    """
+    if e2e is not None:
+        steady, secs, chain_finite = e2e
+        print(json.dumps({
+            "metric": "fast_preset_e2e_seconds_per_image",
+            "value": round(steady, 3),
+            "unit": "seconds/image",
+            # fraction of the <10 s/image target achieved (>1 = beating it)
+            "vs_baseline": round(10.0 / steady, 4),
+            # False = the timed chain DIVERGED (expected with random-init
+            # fallback weights; timing-neutral on TPU but not a real
+            # restoration); None = pipeline emitted no health stamp
+            "chain_finite": chain_finite,
+            "note": (
+                "shipped ddim200 fast preset through run_restoration "
+                "(chain + fetch + postprocess + PNG) on synthetic 256px "
+                f"inputs; steady state = mean of images 2+; all images: "
+                f"{[round(s, 2) for s in secs]}; chain_finite="
+                f"{chain_finite} (False = perf-only diverged run, e.g. "
+                "random-init fallback weights)"
+            ),
+        }), flush=True)
+    print(json.dumps({
+        "metric": "guided_denoise_steps_per_sec_256px_rgbd",
+        "value": round(guided_sps, 3),
+        "unit": "steps/sec",
+        # fraction of the driver's aspirational 100 steps/s north star; the
+        # reference publishes NO numbers. The single-chip MXU bound for this
+        # workload is ~44 steps/s (fwd + dgrad-only backward ~4.5 TFLOP/step
+        # at v5e bf16 peak — PERF.md round-2 corrected accounting)
+        "vs_baseline": round(guided_sps / TARGET_STEPS_PER_SEC, 4),
+        "note": (
+            f"reference publishes no perf numbers; single-chip MXU bound "
+            f"~44 steps/s -> {guided_sps / 44.0:.0%} of bound; "
+            f"prior sampling {prior_sps:.1f} steps/s; reference torch-CPU "
+            f"fwd alone is 27.6 s"
+        ),
+    }), flush=True)
 
 
 def main():
@@ -219,43 +273,18 @@ def main():
     prior_sps = BENCH_STEPS / min(ptimes)
     log(f"prior: {min(ptimes):.3f}s / {BENCH_STEPS} steps -> {prior_sps:.2f} steps/s")
 
-    print(json.dumps({
-        "metric": "guided_denoise_steps_per_sec_256px_rgbd",
-        "value": round(guided_sps, 3),
-        "unit": "steps/sec",
-        # fraction of the driver's aspirational 100 steps/s north star; the
-        # reference publishes NO numbers. The single-chip MXU bound for this
-        # workload is ~44 steps/s (fwd + dgrad-only backward ~4.5 TFLOP/step
-        # at v5e bf16 peak — PERF.md round-2 corrected accounting)
-        "vs_baseline": round(guided_sps / TARGET_STEPS_PER_SEC, 4),
-        "note": (
-            f"reference publishes no perf numbers; single-chip MXU bound "
-            f"~44 steps/s -> {guided_sps / 44.0:.0%} of bound; "
-            f"prior sampling {prior_sps:.1f} steps/s; reference torch-CPU "
-            f"fwd alone is 27.6 s"
-        ),
-    }), flush=True)
-
-    # second line: the <10 s/image north star, self-reported through the
-    # production pipeline (VERDICT r3 #8)
+    # the <10 s/image north star, self-reported through the production
+    # pipeline (VERDICT r3 #8); measured before printing so the primary
+    # line can print LAST (the driver-parsed position)
+    e2e = None
     try:
-        e2e, secs = bench_fast_preset_e2e()
-        log(f"fast preset e2e per-image seconds: {[round(s, 2) for s in secs]}")
-        print(json.dumps({
-            "metric": "fast_preset_e2e_seconds_per_image",
-            "value": round(e2e, 3),
-            "unit": "seconds/image",
-            # fraction of the <10 s/image target achieved (>1 = beating it)
-            "vs_baseline": round(10.0 / e2e, 4),
-            "note": (
-                "shipped ddim200 fast preset through run_restoration "
-                "(chain + fetch + postprocess + PNG) on synthetic 256px "
-                f"inputs; steady state = mean of images 2+; all images: "
-                f"{[round(s, 2) for s in secs]}"
-            ),
-        }))
+        e2e = bench_fast_preset_e2e()
+        log(f"fast preset e2e per-image seconds: "
+            f"{[round(s, 2) for s in e2e[1]]} chain_finite={e2e[2]}")
     except Exception as e:  # noqa: BLE001 — the primary metric must survive
         log(f"fast-preset e2e bench failed: {type(e).__name__}: {e}")
+
+    emit_results(guided_sps, prior_sps, e2e)
 
 
 if __name__ == "__main__":

@@ -102,9 +102,18 @@ def _decode(node, npz):
         return node["v"]
     if t == "arr":
         raw = npz[node["k"]]
-        # bytearray keeps the restored array WRITABLE (np.frombuffer over
-        # immutable bytes would silently hand resumed runs read-only state)
-        arr = np.frombuffer(bytearray(raw.tobytes()), dtype=_np_dtype(node["d"]))
+        # np.load hands back a freshly decompressed buffer that is already
+        # writable — view it in place rather than copying twice
+        # (tobytes + bytearray cost ~3x the checkpoint size in transient
+        # memory on every resume load, ADVICE r4)
+        try:
+            arr = raw.view(_np_dtype(node["d"]))
+        except ValueError:  # non-viewable layout — fall back to one copy
+            arr = np.frombuffer(
+                bytearray(raw.tobytes()), dtype=_np_dtype(node["d"])
+            )
+        if not arr.flags.writeable:  # frombuffer-over-bytes style regression
+            arr = arr.copy()
         return arr.reshape(node["s"])
     if t == "list":
         return [_decode(x, npz) for x in node["v"]]

@@ -58,12 +58,12 @@ def test_bench_e2e_uses_shared_protocol_and_is_cwd_independent(tmp_path,
     def fake_measure(config_path, respacing=None, n_images=3, tag=""):
         seen.update(config_path=config_path, respacing=respacing,
                     n_images=n_images)
-        return 1.23, [9.9, 1.23], 11.1
+        return 1.23, [9.9, 1.23], 11.1, True
 
     monkeypatch.setattr(bench_presets, "measure_preset_e2e", fake_measure)
     monkeypatch.chdir(tmp_path)  # not the repo root
-    steady, secs = bench.bench_fast_preset_e2e(n_images=2)
-    assert steady == 1.23 and secs == [9.9, 1.23]
+    steady, secs, chain_finite = bench.bench_fast_preset_e2e(n_images=2)
+    assert steady == 1.23 and secs == [9.9, 1.23] and chain_finite is True
     assert os.path.isabs(seen["config_path"]) and os.path.exists(
         seen["config_path"])
     assert seen["config_path"].endswith("osmosis_sample_fast_config.yaml")

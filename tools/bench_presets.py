@@ -1,21 +1,23 @@
 #!/usr/bin/env python
 """Measure end-to-end s/image of shipped preset x respacing operating points.
 
-Protocol = bench.py's fast-preset line (reference run-loop contract:
+Protocol = bench.py's north-star line (reference run-loop contract:
 /root/reference/scripts/osmosis_sampling.py per-image loop): synthetic
 256px inputs through the REAL pipeline (`run_restoration`: chain + fetch
 + postprocess + PNG), steady state = mean of images 2+ (image 1 absorbs
 the compile). Each point is the SHIPPED config with only
 `diffusion.timestep_respacing` optionally overridden.
 
-Produced the PERF.md round-13 table (one v5e):
-  x0@ddim200 3.49 s/image | x0@ddim100 2.15 | x0@ddim50 1.24 |
-  x0@ddim25 0.82 | hybrid@ddim200 4.29 | hybrid@ddim50 1.49 —
-  pairing with VALIDATION 3a-ii's quality grid (x0 mode holds
-  +10.4-10.7 dB down to 50 steps; the 25-step rung fails the 256px
-  depth gate).
+This tool is the ONE perf-reporting surface for preset e2e numbers
+(VERDICT r4 #6): every measured point is upserted into
+docs/data/preset_e2e.jsonl (keyed by point name, newest measurement wins)
+and PERF.md / BASELINE.md / config headers cite that file instead of
+hand-copying numbers. Each row carries `chain_finite` (from the pipeline's
+per-image health stamp) so a timed-but-diverged random-init run is
+distinguishable from a real restoration (VERDICT r4 weak #4).
 
-Usage: python tools/bench_presets.py [all|x0_200|x0_100|x0_50|x0_25|hyb_200|hyb_50]
+Usage: python tools/bench_presets.py [all|x0_200|x0_100|x0_50|x0_25|
+                                      hyb_200|hyb_50|hyb_25]
 """
 import json
 import os
@@ -38,7 +40,13 @@ POINTS = {
     "x0_25": ("osmosis_sample_x0_config.yaml", "ddim25"),
     "hyb_200": ("osmosis_sample_hybrid_config.yaml", None),
     "hyb_50": ("osmosis_sample_hybrid_config.yaml", "ddim50"),
+    # the 3a-ii grid's own 25-step recommendation ("25-step budgets should
+    # switch to hybrid" — hybrid k=4 +6.36 dB where full-grad collapses),
+    # measured e2e per VERDICT r4 #3
+    "hyb_25": ("osmosis_sample_hybrid_config.yaml", "ddim25"),
 }
+
+JSONL = os.path.join(REPO, "docs", "data", "preset_e2e.jsonl")
 
 
 def measure_preset_e2e(config_path, respacing=None, n_images=3, tag=""):
@@ -49,7 +57,9 @@ def measure_preset_e2e(config_path, respacing=None, n_images=3, tag=""):
     + postprocess + PNG through `run_restoration`, steady state = mean of
     images 2+ (image 1 absorbs the compile).
 
-    Returns (steady_mean_seconds, per_image_seconds, total_wall_seconds).
+    Returns (steady_mean_seconds, per_image_seconds, total_wall_seconds,
+    chain_finite) where chain_finite is True iff every image's chain ended
+    finite (None when the pipeline emitted no health stamp).
     """
     tmp = tempfile.mkdtemp(prefix=f"bench_{tag}_")
     try:
@@ -82,21 +92,48 @@ def measure_preset_e2e(config_path, respacing=None, n_images=3, tag=""):
                     rows.append(json.loads(line))
         secs = [float(r["seconds"]) for r in rows if "seconds" in r]
         steady = secs[1:] if len(secs) > 1 else secs
-        return float(np.mean(steady)), secs, wall
+        flags = [bool(r["chain_finite"]) for r in rows if "chain_finite" in r]
+        chain_finite = all(flags) if flags else None
+        return float(np.mean(steady)), secs, wall, chain_finite
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
 def run_point(config, respacing=None, n_images=3, tag=""):
-    """One operating point; prints a one-line JSON result row."""
-    steady, secs, wall = measure_preset_e2e(
+    """One operating point; prints the JSON result row and returns it."""
+    steady, secs, wall, chain_finite = measure_preset_e2e(
         os.path.join(REPO, "configs", config), respacing, n_images, tag)
-    print(json.dumps({
+    row = {
         "point": tag, "config": config, "respacing": respacing,
         "steady_s_per_image": round(steady, 3),
         "per_image": [round(s, 2) for s in secs],
         "total_wall_incl_compile": round(wall, 1),
-    }), flush=True)
+        "chain_finite": chain_finite,
+        "date": time.strftime("%Y-%m-%d"),
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def upsert_jsonl(rows, path=JSONL):
+    """Merge measured rows into the checked-in artifact, keyed by point
+    name (newest measurement wins); row order follows POINTS so diffs stay
+    readable. Partial runs (a single point) never drop other points."""
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    r = json.loads(line)
+                    merged[r["point"]] = r
+    for r in rows:
+        merged[r["point"]] = r
+    order = {p: i for i, p in enumerate(POINTS)}
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in sorted(merged.values(),
+                        key=lambda r: order.get(r["point"], len(order))):
+            f.write(json.dumps(r) + "\n")
 
 
 def main():
@@ -107,9 +144,13 @@ def main():
     from osmosis_tpu.utils.compilation_cache import enable as _enable_cache
 
     _enable_cache()
+    rows = []
     for tag, (cfg, resp) in POINTS.items():
         if which in ("all", tag):
-            run_point(cfg, resp, tag=tag)
+            rows.append(run_point(cfg, resp, tag=tag))
+    upsert_jsonl(rows)
+    print(f"[bench_presets] {len(rows)} point(s) upserted into {JSONL}",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

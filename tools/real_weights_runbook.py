@@ -250,8 +250,12 @@ def check_phi_stall(cfg, run_dir, stall_rel=0.01, loss_high_rel=0.5):
 
 
 _TELEMETRY_HEADER = "chain telemetry (scan trace"
+# x0_std is optional: restore.py omits it when x0_std_trace is None, and the
+# loss-convergence exemption in check_phi_stall must still see those rows
+# (ADVICE r4 — a loss-only run would otherwise always re-trigger the adam
+# retry because the stall gate never saw a converged loss)
 _TELEMETRY_ROW = re.compile(
-    r"^\s+t=\s*(\d+)\s+loss=\s*(\S+)\s+x0_std=(\S+)"
+    r"^\s+t=\s*(\d+)\s+loss=\s*(\S+)(?:\s+x0_std=(\S+))?"
 )
 
 
@@ -276,7 +280,8 @@ def parse_chain_telemetry(log_path):
                 except ValueError:
                     loss = float("nan")
                 try:
-                    std = float(m.group(3))
+                    std = float(m.group(3)) if m.group(3) is not None \
+                        else float("nan")
                 except ValueError:
                     std = float("nan")
                 cur.append((int(m.group(1)), loss, std))
@@ -293,7 +298,13 @@ def check_x0_contraction(run_dir):
     log = os.path.join(run_dir, "log.txt")
     if not os.path.exists(log):
         return True, "no log"
-    chains = [c for c in parse_chain_telemetry(log) if len(c) >= 4]
+    # a chain whose rows carried no x0_std at all (loss-only telemetry, std
+    # parsed as NaN for every row) has nothing to gate — distinct from a
+    # chain whose std went NaN mid-run, which must still fail below
+    chains = [
+        c for c in parse_chain_telemetry(log)
+        if len(c) >= 4 and any(np.isfinite(r[-1]) for r in c)
+    ]
     if not chains:
         return True, "no x0_std telemetry"
     details, all_ok = [], True
