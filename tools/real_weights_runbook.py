@@ -62,6 +62,7 @@ import os
 import re
 import subprocess
 import sys
+import time
 
 import numpy as np
 import yaml
@@ -74,14 +75,30 @@ TOOLS = os.path.join(REPO, "tools")
 
 _SH_ENV = {}  # extra env for stage subprocesses (tiny mode pins cpu)
 
+# execution-ordered per-stage wall-clock records; lands in
+# RUNBOOK_REPORT.json["stage_seconds"] and (with --rehearsal-json) in the
+# checked-in rehearsal artifact (VERDICT r4 #4: day-one wall-clock budget)
+STAGE_SECONDS = []
+
+
+def _record_stage(stage, seconds, **extra):
+    STAGE_SECONDS.append({"stage": stage, "seconds": round(seconds, 1),
+                          **extra})
+
 
 def sh(cmd, log_path=None, check=True):
     """Run a stage as a subprocess (fresh JAX runtime per stage) teeing
     output to the console and optionally a log file."""
     print(f"\n[runbook] $ {' '.join(cmd)}", flush=True)
+    t0 = time.time()
     proc = subprocess.run(
         cmd, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True, env={**os.environ, **_SH_ENV},
+    )
+    _record_stage(
+        os.path.splitext(os.path.basename(log_path))[0] if log_path
+        else os.path.basename(cmd[1]) if len(cmd) > 1 else cmd[0],
+        time.time() - t0,
     )
     print(proc.stdout)
     if log_path:
@@ -377,7 +394,10 @@ def run_prior_smoke(ctx, report):
     path = os.path.join(ctx["out_dir"], "cfg_prior.yaml")
     with open(path, "w") as f:
         yaml.dump(cfg, f)
+    t0 = time.time()
     run_dir = run_prior_sampling(path)
+    _record_stage("preset:prior", time.time() - t0,
+                  n_images=cfg["number_of_images"])
 
     rgb_dir = os.path.join(run_dir, "single_images", "rgb")
     names = sorted(os.listdir(rgb_dir)) if os.path.isdir(rgb_dir) else []
@@ -419,7 +439,21 @@ def run_preset(name, ctx, report):
     use_manifest = name != "rgb"  # identity operator: no phi to recover
 
     cfg, path = make_preset_cfg(base_cfg, name, **kw)
+    t0 = time.time()
     run_dir = run_restoration(path)
+    # per-image seconds from the run's own progress rows: image 1 absorbs
+    # the (remote) compile, so image0 - steady ≈ this session's compile
+    # cost for the preset's executable (cold vs warm cache shows up here)
+    per_img = [r["seconds"] for r in parse_phi_rows(run_dir)
+               if "seconds" in r]
+    steady = (sum(per_img[1:]) / len(per_img[1:])) if len(per_img) > 1 else None
+    _record_stage(
+        f"preset:{name}", time.time() - t0,
+        per_image=[round(s, 1) for s in per_img],
+        steady_s_per_image=round(steady, 1) if steady else None,
+        compile_estimate_s=round(per_img[0] - steady, 1)
+        if steady and per_img else None,
+    )
     entry = {"config": path, "run_dir": run_dir}
 
     size = (kw["tiny_unet"] or {}).get("image_size", 256)
@@ -427,7 +461,9 @@ def run_preset(name, ctx, report):
     if stalled and cfg["measurement"]["operator"].get("optimizer") != "adam":
         print(f"[runbook] {name}: phi stall detected -> retrying with adam")
         cfg2, path2 = make_preset_cfg(base_cfg, name, optimizer="adam", **kw)
+        t0 = time.time()
         run_dir2 = run_restoration(path2)
+        _record_stage(f"preset:{name}:adam-retry", time.time() - t0)
         entry.update(phi_stall_sgd=True, adam_run_dir=run_dir2)
         s1 = score_run(run_dir, kw["sim_dir"], size, use_manifest)
         s2 = score_run(run_dir2, kw["sim_dir"], size, use_manifest)
@@ -466,6 +502,10 @@ def main():
                          f"(known: {','.join(sorted(PRESET_BASES))})")
     ap.add_argument("--tiny", action="store_true",
                     help="harness self-test: tiny random checkpoint + toy scenes")
+    ap.add_argument("--rehearsal-json", default=None,
+                    help="also write a dated per-stage wall-clock artifact "
+                         "here (production-scale rehearsal record, "
+                         "VERDICT r4 #4 — e.g. docs/data/runbook_rehearsal.json)")
     args = ap.parse_args()
 
     presets = [p.strip() for p in args.presets.split(",") if p.strip()]
@@ -579,8 +619,34 @@ def main():
     for name in presets:
         run_preset(name, ctx, report)
 
+    report["stage_seconds"] = STAGE_SECONDS
     with open(os.path.join(args.out, "RUNBOOK_REPORT.json"), "w") as f:
         json.dump(report, f, indent=2, default=str)
+    if args.rehearsal_json:
+        import jax
+
+        total = sum(s["seconds"] for s in STAGE_SECONDS)
+        rehearsal = {
+            "date": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+            "mode": "tiny-selftest" if args.tiny else "production-geometry",
+            "device": str(jax.devices()[0]),
+            "stop_after": args.stop_after,
+            "presets": presets,
+            "stages": STAGE_SECONDS,
+            "total_seconds": round(total, 1),
+            "total_human": f"{total / 60:.1f} min",
+            "note": (
+                "per-preset compile_estimate_s = image0 - steady-state "
+                "(this session's cache state); a COLD compilation cache "
+                "adds 2-11 min per distinct executable (CLAUDE.md) on top "
+                "of the steady-state budget"
+            ),
+        }
+        os.makedirs(os.path.dirname(os.path.abspath(args.rehearsal_json)),
+                    exist_ok=True)
+        with open(args.rehearsal_json, "w") as f:
+            json.dump(rehearsal, f, indent=1)
+        print(f"[runbook] rehearsal artifact -> {args.rehearsal_json}")
     lines = ["# Real-weights runbook report", ""]
     lines.append(f"checkpoint: `{report['checkpoint']}`")
     lines.append("")

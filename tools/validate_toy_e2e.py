@@ -89,6 +89,17 @@ def main():
                          "adaptive steps escape the wrong-basin phi/J "
                          "trade-off that plain SGD shows at 64px")
     ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--sample-seed", type=int, default=None,
+                    help="vary ONLY the sampling randomness (chain init "
+                         "noise + in-chain noise), keeping the held-out "
+                         "scenes and degradations bitwise identical — the "
+                         "seed-replication axis for quantifying draw-to-"
+                         "draw spread of a grid cell (VERDICT r4 #2). "
+                         "None = the original draw (bitwise the round-4 "
+                         "grid rows)")
+    ap.add_argument("--row-name", default=None,
+                    help="stamp a row identifier into the output JSON "
+                         "(grid bookkeeping)")
     ap.add_argument("--sampler", default="ddpm", choices=["ddpm", "ltsp"],
                     help="ltsp = Lie-Trotter splitting with PLMS4 diffusion "
                          "substep (arXiv 2301.11558) — fewer steps, same quality")
@@ -198,6 +209,11 @@ def main():
             continue
         kk = jax.random.fold_in(key, i)
         scene = synth_scene_batch(jax.random.fold_in(kk, 0), 1, args.size)
+        # the sampling-key root: by default identical to kk (bitwise the
+        # original grid draw); --sample-seed re-roots ONLY the chain
+        # randomness below, never the scene/degradation above
+        ks = kk if args.sample_seed is None else jax.random.fold_in(
+            kk, 50_000 + args.sample_seed)
         J_true01 = 0.5 * (np.asarray(scene[..., :3])[0] + 1.0)
         z_true = np.asarray(scene[..., 3])[0]
 
@@ -205,7 +221,7 @@ def main():
         y = 2.0 * y01 - 1.0
         best_loss, res, chosen = None, None, 0
         for k_try in range(max(args.best_of, 1)):
-            k_base = jax.random.fold_in(kk, 1000 * k_try) if k_try else kk
+            k_base = jax.random.fold_in(ks, 1000 * k_try) if k_try else ks
             x_init = jax.random.normal(jax.random.fold_in(k_base, 1), scene.shape)
             phi0 = phi_cold
             if k_try and args.phi_jitter > 0:
@@ -280,7 +296,7 @@ def main():
         P.save_png(P.make_grid(panels, nrow=5, pad_value=1.0), args.save_png)
         print(f"strip saved: {args.save_png}", file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "sampler": args.sampler, "respacing": args.respacing,
         "scenes": rows,
         "psnr_degraded_mean": round(mean_in, 2),
@@ -288,7 +304,12 @@ def main():
         "psnr_gain_db": round(mean_out - mean_in, 2),
         "depth_corr_mean": round(mean_corr, 3),
         "pass": bool(ok),
-    }))
+    }
+    if args.row_name is not None:
+        out = {"row": args.row_name, **out}
+    if args.sample_seed is not None:
+        out["seed"] = args.sample_seed
+    print(json.dumps(out))
     if not ok:
         # triage order established by the 128px investigation
         # (VALIDATION.md 3b-iv): first separate "the prior is weak" from
