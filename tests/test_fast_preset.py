@@ -215,6 +215,41 @@ def test_hybrid_preset_parses():
         assert hasattr(args, k), f"hybrid preset missing run key {k}"
 
 
+def test_hybrid_turbo_preset_parses():
+    """configs/osmosis_sample_hybrid_turbo_config.yaml: hybrid k=4 at
+    ddim25 — the grid's measured-safest 25-step operating point (3a-ii:
+    +6.36 dB where full-grad collapses to +1.42 and x0 fails the depth
+    gate; VERDICT r4 #3). 25 % 4 = 1 exercises the hybrid schedule's
+    epilogue block, so the schedule must build (not merely parse)."""
+    cfg = os.path.join(os.path.dirname(__file__), "..", "configs",
+                       "osmosis_sample_hybrid_turbo_config.yaml")
+    args = C.arguments_from_file(cfg)
+    assert args.diffusion["timestep_respacing"] == "ddim25"
+    p = args.conditioning["params"]
+    assert p["gradient_x_prev"] is True
+    assert int(p["x_prev_every"]) == 4
+    assert p["scale"] == "7,7,7,0.9"  # full scale — the hybrid recipe
+    gcfg = GuidanceConfig.from_config(
+        args.conditioning["method"], p, args.sample_pattern, args.aux_loss)
+    assert gcfg.x_prev_every == 4 and gcfg.gradient_x_prev is True
+    sch = make_schedule(
+        noise_schedule=args.diffusion["noise_schedule"],
+        steps=args.diffusion["steps"],
+        timestep_respacing=args.diffusion["timestep_respacing"],
+        rescale_timesteps=args.diffusion["rescale_timesteps"],
+    )
+    assert sch.num_timesteps == 25
+    assert sch.num_timesteps % gcfg.x_prev_every == 1  # epilogue block path
+    op = args.measurement["operator"]
+    for k in ("phi_a_eta", "phi_b_eta", "phi_inf_eta"):
+        assert float(op[k]) == 5.0e-5  # ddim200-tuned, no extrapolation
+    # 25-step chain: the shipped record_every must not exceed the chain
+    assert args.record_every <= 25
+    for k in ("save_dir", "manual_seed", "rgb_guidance", "save_singles",
+              "save_grids", "record_process", "record_every"):
+        assert hasattr(args, k), f"hybrid-turbo preset missing run key {k}"
+
+
 def test_x0_turbo_preset_parses():
     """configs/osmosis_sample_x0_turbo_config.yaml: the x0 mode at ddim100
     (2.15 s/image e2e, PERF.md round 13) — the x0 preset's knobs (halved

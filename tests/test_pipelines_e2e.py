@@ -109,6 +109,14 @@ def test_restoration_pipeline_e2e(tmp_path, tiny_dataset):
     assert os.path.exists(pjoin(out, "grid_results", "img_0_g0_grid.png"))
     assert os.path.exists(pjoin(out, "grid_results", "img_0_process.png"))
     assert not os.path.exists(pjoin(out, "single_images", "rgb", "img_1.png"))
+    # every per-image progress row carries the chain-health stamp that
+    # bench.py / tools/bench_presets.py fold into their artifacts
+    # (VERDICT r4 weak #4)
+    import json as _json
+
+    with open(pjoin(out, "progress.json")) as f:
+        rows = [_json.loads(l) for l in f if l.strip()]
+    assert rows and all(isinstance(r.get("chain_finite"), bool) for r in rows)
     log = open(pjoin(out, "log.txt")).read()
     assert "phi_a" in log and "Norm loss" in log
 

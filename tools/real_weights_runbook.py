@@ -121,6 +121,7 @@ PRESET_BASES = {
     "x0": "osmosis_simulation_sample_config.yaml",
     "x0_turbo": "osmosis_simulation_sample_config.yaml",
     "hybrid": "osmosis_simulation_sample_config.yaml",
+    "hybrid_turbo": "osmosis_simulation_sample_config.yaml",
     "haze": "osmosis_haze_sample_config.yaml",
     "rgb": "rgb_guidance_sample_config.yaml",
     "prior": "RGBD_sample_config.yaml",
@@ -182,6 +183,16 @@ def make_preset_cfg(base_cfg, name, *, checkpoint, sim_dir, out_dir,
         _scale_etas(cfg, 5.0)
     elif name == "hybrid":
         params["x_prev_every"] = 4
+    elif name == "hybrid_turbo":
+        # the 25-step operating point (osmosis_sample_hybrid_turbo_config
+        # .yaml): hybrid k=4 at ddim25, FULL scale, fast-preset 5x etas
+        # (3a-ii: bracket further compensation on real weights, don't
+        # extrapolate). 25 % 4 = 1 exercises the epilogue block.
+        params["x_prev_every"] = 4
+        if not tiny:
+            cfg["diffusion"].update(sampler="ddim", timestep_respacing="ddim25")
+            cfg["record_every"] = 5
+        _scale_etas(cfg, 5.0)
     elif name == "haze":
         # the haze reference preset degammas its (gamma-encoded photo)
         # inputs; the simulation set is linear-coded PNGs, so degamma off
@@ -497,7 +508,8 @@ def main():
     ap.add_argument("--stop-after", type=int, default=5,
                     help="images per preset (full protocol: -1 = all)")
     ap.add_argument("--presets",
-                    default="reference,fast,turbo,x0,x0_turbo,hybrid,haze,rgb,prior",
+                    default="reference,fast,turbo,x0,x0_turbo,hybrid,"
+                            "hybrid_turbo,haze,rgb,prior",
                     help="comma list; one row per reference surface "
                          f"(known: {','.join(sorted(PRESET_BASES))})")
     ap.add_argument("--tiny", action="store_true",
