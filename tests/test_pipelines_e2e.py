@@ -191,9 +191,10 @@ def test_shipped_configs_parse():
 
     cfgs = sorted(glob.glob("configs/*.yaml"))
     # the reference's five presets + the fast (ddim200) / turbo (ddim100)
-    # latency presets + the x0-gradient, hybrid (x_prev_every 4) and
-    # x0-turbo (x0 @ ddim100, the measured-best operating point) presets
-    assert len(cfgs) == 10
+    # latency presets + the x0-gradient, hybrid (x_prev_every 4), x0-turbo
+    # (x0 @ ddim100) and hybrid-turbo (k=4 @ ddim25, the measured-safe
+    # 25-step mode) presets
+    assert len(cfgs) == 11
     for path in cfgs:
         args = C.arguments_from_file(path)
         ucfg = unet_config_from_yaml(args.unet_model)
