@@ -199,3 +199,49 @@ def test_runbook_tiny_single_preset(tmp_path):
     assert len(prior["prior_stats"]) == 2
     assert prior["x0_std_contraction"]["ok"] is True
     assert os.path.exists(os.path.join(out, "RUNBOOK_REPORT.md"))
+
+
+def test_runbook_preset_failure_does_not_abort_sweep(tmp_path, monkeypatch):
+    """Round-5 rehearsal regression: a transient relay/compile error in ONE
+    preset killed the remaining five surfaces of a 42-minute run. The sweep
+    loop must retry once, then record the error as that preset's row and
+    keep going."""
+    import tools.real_weights_runbook as rb
+
+    ckpt = tmp_path / "ck.pt"
+    ckpt.write_bytes(b"x")
+    sim = tmp_path / "sim"
+    sim.mkdir()
+    out = tmp_path / "out"
+
+    calls = []
+
+    def fake_run_preset(name, ctx, report):
+        calls.append(name)
+        if name == "fast":
+            raise RuntimeError("remote_compile: response body closed")
+        report["presets"].setdefault(name, {"ran": True})
+
+    monkeypatch.setattr(rb, "sh", lambda cmd, log_path=None, check=True:
+                        "parity ok\nrel err 0\nconverted\n")
+    monkeypatch.setattr(rb, "run_preset", fake_run_preset)
+    monkeypatch.setattr(sys, "argv", [
+        "real_weights_runbook.py", "--checkpoint", str(ckpt),
+        "--sim-dir", str(sim), "--out", str(out),
+        "--presets", "reference,fast,prior",
+        "--rehearsal-json", str(tmp_path / "rehearsal.json")])
+    rb.main()
+
+    # fast retried once (two calls), then the sweep moved on to prior
+    assert calls == ["reference", "fast", "fast", "prior"]
+    with open(out / "RUNBOOK_REPORT.json") as f:
+        report = json.load(f)
+    assert "remote_compile" in report["presets"]["fast"]["error"]
+    assert report["presets"]["prior"] == {"ran": True}
+    md = (out / "RUNBOOK_REPORT.md").read_text()
+    assert "ERROR" in md
+    # the rehearsal artifact still lands, with the error stage recorded
+    with open(tmp_path / "rehearsal.json") as f:
+        rj = json.load(f)
+    errs = [s for s in rj["stages"] if s["stage"] == "preset:fast:error"]
+    assert len(errs) == 2 and errs[-1]["attempt"] == 2

@@ -627,9 +627,28 @@ def main():
                stop_after=args.stop_after, tiny_unet=tiny_unet,
                base_cfg=bases)
 
-    # Stages 3+4: reference preset, sign-off sweeps, other surfaces
+    # Stages 3+4: reference preset, sign-off sweeps, other surfaces.
+    # One preset's failure must NOT abort the sweep: on a multi-hour
+    # day-one run a transient relay/compile hiccup at preset 5 of 10
+    # would otherwise throw away every remaining surface (this exact
+    # failure happened in the round-5 rehearsal — the remote-compile
+    # service closed a connection mid-retry). Record the error as the
+    # preset's row, keep going; retry once first, since relay errors are
+    # usually transient.
     for name in presets:
-        run_preset(name, ctx, report)
+        for attempt in (1, 2):
+            try:
+                run_preset(name, ctx, report)
+                break
+            except Exception as e:  # noqa: BLE001 — keep the sweep alive
+                print(f"[runbook] ERROR {name} (attempt {attempt}): "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
+                _record_stage(f"preset:{name}:error", 0.0,
+                              error=f"{type(e).__name__}: {e}"[:300],
+                              attempt=attempt)
+                if attempt == 2:
+                    report["presets"][name] = {
+                        "error": f"{type(e).__name__}: {e}"[:500]}
 
     report["stage_seconds"] = STAGE_SECONDS
     with open(os.path.join(args.out, "RUNBOOK_REPORT.json"), "w") as f:
@@ -671,6 +690,8 @@ def main():
             notes.append(f"phi stalled on sgd; kept {e['kept']}")
         if e.get("skipped"):
             notes.append(f"SKIPPED: {e['skipped']}")
+        if e.get("error"):
+            notes.append(f"ERROR: {e['error']}")
         contraction = e.get("x0_std_contraction", {}).get("ok", "n/a")
         lines.append(
             f"| {name} | {s.get('psnr_mean', 'n/a')} | "
