@@ -230,18 +230,8 @@ def emit_results(guided_sps, prior_sps, e2e=None):
     }), flush=True)
 
 
-def main():
-    from osmosis_tpu.utils.compilation_cache import enable as _enable_cache
-
-    _enable_cache()
-    dev = jax.devices()[0]
-    log(f"device: {dev}")
-    # the exact knob state this number was measured at (same defaults as
-    # tools/profile_guided.py, which wraps this builder)
-    from osmosis_tpu import perf
-
-    log(f"perf knobs: {perf.effective()}")
-
+def measure_primary():
+    """Chip measurement of the primary metric (guided steps/s)."""
     run, params, x, y = build_guided_run()
     key = jax.random.key(3)
     t0 = time.perf_counter()
@@ -260,8 +250,13 @@ def main():
     guided_sps = BENCH_STEPS / best
     log(f"guided: {best:.3f}s / {BENCH_STEPS} steps -> {guided_sps:.2f} steps/s "
         f"-> {1000 / guided_sps:.1f} s per 1000-step image")
+    return guided_sps
 
+
+def measure_prior():
+    """Chip measurement of the forward-only prior-sampling steps/s."""
     prun, pparams, px = build_prior_run()
+    key = jax.random.key(3)
     t0 = time.perf_counter()
     _force_sync(prun(pparams, px, key))
     log(f"prior compile+first run: {time.perf_counter() - t0:.1f}s")
@@ -272,19 +267,37 @@ def main():
         ptimes.append(time.perf_counter() - t0)
     prior_sps = BENCH_STEPS / min(ptimes)
     log(f"prior: {min(ptimes):.3f}s / {BENCH_STEPS} steps -> {prior_sps:.2f} steps/s")
+    return prior_sps
 
-    # the <10 s/image north star, self-reported through the production
-    # pipeline (VERDICT r3 #8); measured before printing so the primary
-    # line can print LAST (the driver-parsed position)
-    e2e = None
+
+def measure_e2e_safely():
+    """The <10 s/image north star, self-reported through the production
+    pipeline (VERDICT r3 #8); measured BEFORE printing so the primary line
+    can print LAST. Returns None on any failure — the primary metric must
+    survive an e2e-leg breakage."""
     try:
         e2e = bench_fast_preset_e2e()
         log(f"fast preset e2e per-image seconds: "
             f"{[round(s, 2) for s in e2e[1]]} chain_finite={e2e[2]}")
-    except Exception as e:  # noqa: BLE001 — the primary metric must survive
+        return e2e
+    except Exception as e:  # noqa: BLE001
         log(f"fast-preset e2e bench failed: {type(e).__name__}: {e}")
+        return None
 
-    emit_results(guided_sps, prior_sps, e2e)
+
+def main():
+    from osmosis_tpu.utils.compilation_cache import enable as _enable_cache
+
+    _enable_cache()
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+    # the exact knob state this number was measured at (same defaults as
+    # tools/profile_guided.py, which wraps this builder)
+    from osmosis_tpu import perf
+
+    log(f"perf knobs: {perf.effective()}")
+
+    emit_results(measure_primary(), measure_prior(), measure_e2e_safely())
 
 
 if __name__ == "__main__":

@@ -62,21 +62,31 @@ def test_last_line_is_primary_when_e2e_failed(capsys):
 
 
 def test_main_prints_primary_last_even_if_e2e_raises(capsys, monkeypatch):
-    """End-to-end through bench.main()'s ordering logic: stub the chip
-    measurements, make the e2e bench raise, and assert stdout still ends
-    with the primary line."""
+    """Drive the REAL bench.main() (not a re-implementation of its tail):
+    stub only the chip measurements, make the e2e bench raise, and assert
+    stdout still ends with the primary line. A future edit that prints
+    after emit_results or drops the e2e try/except fails here."""
+    monkeypatch.setattr(bench, "measure_primary", lambda: 30.0)
+    monkeypatch.setattr(bench, "measure_prior", lambda: 60.0)
     monkeypatch.setattr(
         bench, "bench_fast_preset_e2e",
         lambda n_images=3: (_ for _ in ()).throw(RuntimeError("no chip")))
-    # drive only the print path: emulate main()'s tail
-    e2e = None
-    try:
-        e2e = bench.bench_fast_preset_e2e()
-    except Exception:
-        pass
-    bench.emit_results(30.0, 60.0, e2e)
+    bench.main()
     rows = _json_lines(capsys)
-    assert rows[-1]["metric"] == PRIMARY
+    assert len(rows) == 1 and rows[-1]["metric"] == PRIMARY
+
+
+def test_main_prints_primary_last_with_e2e(capsys, monkeypatch):
+    """Same, happy path: main() emits e2e-then-primary in order."""
+    monkeypatch.setattr(bench, "measure_primary", lambda: 30.0)
+    monkeypatch.setattr(bench, "measure_prior", lambda: 60.0)
+    monkeypatch.setattr(
+        bench, "bench_fast_preset_e2e",
+        lambda n_images=3: (6.8, [16.0, 6.8, 6.8], True))
+    bench.main()
+    rows = _json_lines(capsys)
+    assert [r["metric"] for r in rows] == [E2E, PRIMARY]
+    assert rows[0]["chain_finite"] is True
 
 
 def test_bench_presets_row_has_chain_finite(monkeypatch, capsys):

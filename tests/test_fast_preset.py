@@ -252,9 +252,9 @@ def test_hybrid_turbo_preset_parses():
 
 def test_x0_turbo_preset_parses():
     """configs/osmosis_sample_x0_turbo_config.yaml: the x0 mode at ddim100
-    (2.15 s/image e2e, PERF.md round 13) — the x0 preset's knobs (halved
-    scale, gradient_x_prev False, UN-doubled phi etas per the 3a-ii
-    no-compensation finding) at the turbo step count."""
+    (e2e s/image: docs/data/preset_e2e.jsonl point x0_100) — the x0
+    preset's knobs (halved scale, gradient_x_prev False, UN-doubled phi
+    etas per the 3a-ii no-compensation finding) at the turbo step count."""
     cfg = os.path.join(os.path.dirname(__file__), "..", "configs",
                        "osmosis_sample_x0_turbo_config.yaml")
     args = C.arguments_from_file(cfg)

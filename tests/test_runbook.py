@@ -245,3 +245,39 @@ def test_runbook_preset_failure_does_not_abort_sweep(tmp_path, monkeypatch):
         rj = json.load(f)
     errs = [s for s in rj["stages"] if s["stage"] == "preset:fast:error"]
     assert len(errs) == 2 and errs[-1]["attempt"] == 2
+
+
+def test_contraction_gate_nan_vs_absent_x0_std(tmp_path):
+    """Review r5 regression: an all-NaN x0_std chain (divergence — the
+    token PRINTED as nan) must FAIL the gate, while loss-only telemetry
+    (no x0_std token at all) passes through as un-gateable. Conflating
+    the two made diverged chains silently pass."""
+    from tools.real_weights_runbook import (check_phi_stall,
+                                            check_x0_contraction,
+                                            parse_chain_telemetry)
+
+    ts = [999, 888, 777, 666, 555, 444, 333, 222, 111, 0]
+
+    # diverged: x0_std printed as nan on every row -> NO CONTRACTION
+    lines = ["chain telemetry (scan trace; step runs t=T-1..0):"]
+    for t in ts:
+        lines.append(f"  t={t:4d} loss=      nan x0_std=nan {{}}")
+    run = _write_log(tmp_path, "nan", "\n".join(lines))
+    ok, detail = check_x0_contraction(run)
+    assert not ok, detail
+
+    # loss-only telemetry: rows without the x0_std token parse (std None)
+    # and feed the stall gate's loss-convergence exemption, but the
+    # contraction gate has nothing to judge
+    lines = ["chain telemetry (scan trace; step runs t=T-1..0):"]
+    for i, t in enumerate(ts):
+        lines.append(f"  t={t:4d} loss={50.0 - 4 * i:9.3f}")
+    run = _write_log(tmp_path, "lossonly", "\n".join(lines))
+    ok, detail = check_x0_contraction(run)
+    assert ok and "no x0_std" in detail
+    chains = parse_chain_telemetry(os.path.join(run, "log.txt"))
+    assert len(chains) == 1 and len(chains[0]) == 10
+    assert all(std is None for _, _, std in chains[0])
+    # and the loss values are real (the ADVICE r4 fix's purpose): a
+    # converged loss exempts frozen phi from the stall verdict
+    assert chains[0][-1][1] == 14.0

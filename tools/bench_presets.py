@@ -144,12 +144,15 @@ def main():
     from osmosis_tpu.utils.compilation_cache import enable as _enable_cache
 
     _enable_cache()
-    rows = []
+    n = 0
     for tag, (cfg, resp) in POINTS.items():
         if which in ("all", tag):
-            rows.append(run_point(cfg, resp, tag=tag))
-    upsert_jsonl(rows)
-    print(f"[bench_presets] {len(rows)} point(s) upserted into {JSONL}",
+            # upsert each row as soon as it is measured: a relay failure at
+            # point k of 7 must not discard the k-1 rows already paid for
+            # (each costs 15-145 s of compile + measurement)
+            upsert_jsonl([run_point(cfg, resp, tag=tag)])
+            n += 1
+    print(f"[bench_presets] {n} point(s) upserted into {JSONL}",
           file=sys.stderr)
 
 

@@ -191,7 +191,6 @@ def make_preset_cfg(base_cfg, name, *, checkpoint, sim_dir, out_dir,
         params["x_prev_every"] = 4
         if not tiny:
             cfg["diffusion"].update(sampler="ddim", timestep_respacing="ddim25")
-            cfg["record_every"] = 5
         _scale_etas(cfg, 5.0)
     elif name == "haze":
         # the haze reference preset degammas its (gamma-encoded photo)
@@ -307,11 +306,17 @@ def parse_chain_telemetry(log_path):
                     loss = float(m.group(2))
                 except ValueError:
                     loss = float("nan")
-                try:
-                    std = float(m.group(3)) if m.group(3) is not None \
-                        else float("nan")
-                except ValueError:
-                    std = float("nan")
+                # absent token -> None (loss-only telemetry); an x0_std
+                # that PRINTED as nan/garbage stays NaN so a diverged
+                # chain still FAILS the contraction gate — conflating the
+                # two made all-nan chains silently pass (review r5)
+                if m.group(3) is None:
+                    std = None
+                else:
+                    try:
+                        std = float(m.group(3))
+                    except ValueError:
+                        std = float("nan")
                 cur.append((int(m.group(1)), loss, std))
             elif cur is not None:
                 cur = None  # any non-row line closes the block
@@ -326,12 +331,15 @@ def check_x0_contraction(run_dir):
     log = os.path.join(run_dir, "log.txt")
     if not os.path.exists(log):
         return True, "no log"
-    # a chain whose rows carried no x0_std at all (loss-only telemetry, std
-    # parsed as NaN for every row) has nothing to gate — distinct from a
-    # chain whose std went NaN mid-run, which must still fail below
+    # a chain whose rows carried no x0_std TOKEN at all (loss-only
+    # telemetry, std None on every row) has nothing to gate — distinct
+    # from a chain whose std printed as nan (divergence), which must
+    # still fail below
     chains = [
-        c for c in parse_chain_telemetry(log)
-        if len(c) >= 4 and any(np.isfinite(r[-1]) for r in c)
+        [(t, loss, float("nan") if std is None else std)
+         for t, loss, std in c]
+        for c in parse_chain_telemetry(log)
+        if len(c) >= 4 and any(std is not None for _, _, std in c)
     ]
     if not chains:
         return True, "no x0_std telemetry"
@@ -637,13 +645,17 @@ def main():
     # usually transient.
     for name in presets:
         for attempt in (1, 2):
+            t0 = time.time()
             try:
                 run_preset(name, ctx, report)
                 break
             except Exception as e:  # noqa: BLE001 — keep the sweep alive
                 print(f"[runbook] ERROR {name} (attempt {attempt}): "
                       f"{type(e).__name__}: {e}", file=sys.stderr)
-                _record_stage(f"preset:{name}:error", 0.0,
+                # record the REAL elapsed time of the failed attempt — a
+                # 40-minute chain that dies at the end is exactly what the
+                # day-one wall-clock budget must not undercount
+                _record_stage(f"preset:{name}:error", time.time() - t0,
                               error=f"{type(e).__name__}: {e}"[:300],
                               attempt=attempt)
                 if attempt == 2:

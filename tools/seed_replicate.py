@@ -80,8 +80,15 @@ def run_cell(cell, seed):
         + ["--sample-seed", str(seed), "--row-name", cell]
     )
     t0 = time.time()
-    p = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
-                       timeout=3600)
+    try:
+        p = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                           timeout=3600)
+    except subprocess.TimeoutExpired:
+        # a cold-cache 256px cell can blow the budget — skip the cell and
+        # keep the sweep alive, like every other per-cell failure
+        print(f"[seed_replicate] {cell} seed {seed} TIMED OUT after "
+              f"{(time.time() - t0) / 60:.0f} min", file=sys.stderr)
+        return None
     dt = time.time() - t0
     # rc 1 = the tool's own PASS gate failed (possible at the knee cells);
     # the row is still the measurement we came for
@@ -176,11 +183,17 @@ def summarize(rows):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--seeds", type=int, nargs="+", default=[1, 2])
+    ap.add_argument("--seeds", type=int, nargs="+", default=[1, 2],
+                    help="sample-seed values (>=1). 0 is RESERVED for the "
+                         "original round-4 grid draw (rows without a seed "
+                         "field): --sample-seed 0 would measure a NEW draw "
+                         "that the summary could not distinguish from it")
     ap.add_argument("--cells", nargs="+", default=list(CELLS),
                     choices=list(CELLS))
     ap.add_argument("--summarize-only", action="store_true")
     args = ap.parse_args()
+    if any(s < 1 for s in args.seeds):
+        ap.error("--seeds must be >= 1 (draw 0 IS the original grid row)")
 
     rows = load_grid()
     if not args.summarize_only:
