@@ -16,7 +16,8 @@ hand-copying numbers. Each row carries `chain_finite` (from the pipeline's
 per-image health stamp) so a timed-but-diverged random-init run is
 distinguishable from a real restoration (VERDICT r4 weak #4).
 
-Usage: python tools/bench_presets.py [all|x0_200|x0_100|x0_50|x0_25|
+Usage: python tools/bench_presets.py [all|ref_1000|fast_200|turbo_100|
+                                      x0_200|x0_100|x0_50|x0_25|
                                       hyb_200|hyb_50|hyb_25]
 """
 import json
@@ -34,6 +35,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 POINTS = {
+    # full-gradient presets (every shipped preset has a row, so the docs
+    # never hand-copy a number measured under an older protocol)
+    "ref_1000": ("osmosis_sample_config.yaml", None),
+    "fast_200": ("osmosis_sample_fast_config.yaml", None),
+    "turbo_100": ("osmosis_sample_turbo_config.yaml", None),
     "x0_200": ("osmosis_sample_x0_config.yaml", None),
     "x0_100": ("osmosis_sample_x0_config.yaml", "ddim100"),
     "x0_50": ("osmosis_sample_x0_config.yaml", "ddim50"),
