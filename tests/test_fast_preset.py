@@ -144,7 +144,7 @@ def test_phi_recovery_on_respaced_chain():
 
 def test_turbo_preset_parses_and_respaces():
     """configs/osmosis_sample_turbo_config.yaml: the ddim100 latency preset
-    (3.9 s/image measured, PERF.md round 5) with 10x-compensated phi etas."""
+    (e2e s/image: docs/data/preset_e2e.jsonl point turbo_100) with 10x-compensated phi etas."""
     cfg = os.path.join(os.path.dirname(__file__), "..", "configs",
                        "osmosis_sample_turbo_config.yaml")
     args = C.arguments_from_file(cfg)
