@@ -58,6 +58,12 @@ CELLS = {
     "r256_s25_hyb4": f"{C256} --phi-eta 2.5e-4 --respacing 25 "
                      "--x-prev-every 4",
     "r128_s100_eta5e-4": f"{C128} --phi-eta 5e-4 --respacing 100",
+    # the two knee comparators that justify the hybrid-turbo preset: the
+    # x0 depth-gate failure at 25 steps (corr 0.03 single-draw) and the
+    # full-grad collapse (+1.42 single-draw)
+    "r256_s25_x0": f"{C256} --x0-grad --scale 8,8,8,4 --phi-eta 2.5e-4 "
+                   "--respacing 25",
+    "r256_s25_ddpm": f"{C256} --respacing 25 --phi-eta 2.5e-4",
 }
 
 
@@ -150,19 +156,32 @@ def summarize(rows):
                 and (full_gain is None or hyb["gain_mean"] > full_gain)
             ),
         }
-    # the 25-step knee: x0@25 fails the 256px depth gate (corr ~0.03,
-    # single draw) while hyb4@25 holds — replication asks whether hyb4@25's
-    # gain stays clearly above the full-grad collapse (+1.42, single draw)
+    # the 25-step knee: x0@25 fails the 256px depth gate (corr ~0.03 on
+    # the original draw) while hyb4@25 holds — replication asks whether
+    # (a) hyb4@25's gain stays clearly above the full-grad collapse and
+    # (b) the x0 depth-gate failure is a property of the mode, not of one
+    # draw (each validate_toy_e2e row carries its own pass verdict)
     if "r256_s25_hyb4" in cells:
         hyb25 = cells["r256_s25_hyb4"]
-        checks["knee_25steps_hyb4_above_collapse"] = {
+        ddpm25 = cells.get("r256_s25_ddpm")
+        full_gain = (ddpm25["gain_mean"] if ddpm25 else
+                     next((r["psnr_gain_db"] for r in rows
+                           if r.get("row") == "r256_s25_ddpm"), 1.42))
+        x0_25 = [r for r in rows if r.get("row") == "r256_s25_x0"]
+        entry = {
             "hyb4_25_gain": f"{hyb25['gain_mean']}±{hyb25['gain_std']}",
-            "full_grad_25_single_draw": next(
-                (r["psnr_gain_db"] for r in rows
-                 if r.get("row") == "r256_s25_ddpm"), None),
+            "full_grad_25": (f"{ddpm25['gain_mean']}±{ddpm25['gain_std']}"
+                             if ddpm25 else full_gain),
             "survives": bool(hyb25["gain_mean"] - 2 * (hyb25["gain_std"] or 0)
-                             > 1.42),
+                             > full_gain),
         }
+        if x0_25:
+            entry["x0_25_depth_gate_failures"] = (
+                f"{sum(1 for r in x0_25 if not r.get('pass', True))}"
+                f"/{len(x0_25)} draws")
+            entry["x0_25_depth_corr_per_draw"] = [
+                r["depth_corr_mean"] for r in x0_25]
+        checks["knee_25steps_hyb4_above_collapse"] = entry
     # x0 step-count invariance at the shipped turbo point: is
     # x0@50 vs x0@100 (256px: 10.65 vs 10.59 single-draw) within noise?
     if "r256_s100_x0" in cells and "r256_s50_x0" in cells:
