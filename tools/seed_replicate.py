@@ -64,6 +64,11 @@ CELLS = {
     "r256_s25_x0": f"{C256} --x0-grad --scale 8,8,8,4 --phi-eta 2.5e-4 "
                    "--respacing 25",
     "r256_s25_ddpm": f"{C256} --respacing 25 --phi-eta 2.5e-4",
+    # the 128px side of the knee asymmetry ("128px still passes at 25
+    # steps") — single-draw in round 4
+    "r128_s25_x0": f"{C128} --x0-grad --scale 4,4,4,2 --phi-eta 5e-4 "
+                   "--respacing 25",
+    "r128_s25_eta5e-4": f"{C128} --phi-eta 5e-4 --respacing 25",
 }
 
 
