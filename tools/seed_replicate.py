@@ -39,6 +39,9 @@ C128 = ("--checkpoint checkpoints/toy_prior128_offn.msgpack --size 128 "
 C256 = ("--checkpoint checkpoints/toy_prior256_offn.msgpack --size 256 "
         "--channels 64 --arch production --scenes 6 --scale 16,16,16,8 "
         "--optimizer adam")
+C256_4K = ("--checkpoint checkpoints/toy_prior256_offn4k.msgpack --size 256 "
+           "--channels 64 --arch production --scenes 6 --scale 16,16,16,8 "
+           "--optimizer adam")
 
 # the decision-bearing cells (VERDICT r4 #2): x0@100/50 at both
 # resolutions, hybrid k=4 @50/25 on the converged 24k prior, and the
@@ -69,6 +72,14 @@ CELLS = {
     "r128_s25_x0": f"{C128} --x0-grad --scale 4,4,4,2 --phi-eta 5e-4 "
                    "--respacing 25",
     "r128_s25_eta5e-4": f"{C128} --phi-eta 5e-4 --respacing 25",
+    # the eta-bracketing evidence on the 4k checkpoint-strength prior
+    # (3a-ii finding 3: "the 4x upscale wins at 50 steps, +7.96 vs
+    # +5.59" — single-draw in round 4; drives the day-one bracketing
+    # advice)
+    "r256k4_s100_eta1e-4": f"{C256_4K} --respacing 100 --phi-eta 1e-4",
+    "r256k4_s100_eta2e-4": f"{C256_4K} --respacing 100 --phi-eta 2e-4",
+    "r256k4_s50_eta1e-4": f"{C256_4K} --respacing 50 --phi-eta 1e-4",
+    "r256k4_s50_eta4e-4": f"{C256_4K} --respacing 50 --phi-eta 4e-4",
 }
 
 
