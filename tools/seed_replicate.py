@@ -80,6 +80,11 @@ CELLS = {
     "r256k4_s100_eta2e-4": f"{C256_4K} --respacing 100 --phi-eta 2e-4",
     "r256k4_s50_eta1e-4": f"{C256_4K} --respacing 50 --phi-eta 1e-4",
     "r256k4_s50_eta4e-4": f"{C256_4K} --respacing 50 --phi-eta 4e-4",
+    # the 200-step baselines the turbo preset's "100 steps holds quality"
+    # claim (3a-ii finding 1) compares against — single-draw 3b-iv/3b-v
+    # numbers (+5.89 / +7.04) until round 5
+    "r128_s200_eta5e-4": f"{C128} --phi-eta 5e-4 --respacing 200",
+    "r256k4_s200_eta1e-4": f"{C256_4K} --respacing 200 --phi-eta 1e-4",
 }
 
 
