@@ -50,7 +50,7 @@ def test_summarize_mean_std_and_checks():
 
     chk = s["checks"]
     assert chk["mode_ranking_256px_50steps"]["survives"] is True
-    assert chk["mode_ranking_256px_50steps"]["full_grad_gain_single_draw"] == 2.52
+    assert chk["mode_ranking_256px_50steps"]["full_grad_gain"].startswith("2.52")
     assert chk["knee_25steps_hyb4_above_collapse"]["survives"] is True
     assert chk["x0_100_vs_50_256px"]["within_noise"] is True
 

@@ -85,6 +85,9 @@ CELLS = {
     # numbers (+5.89 / +7.04) until round 5
     "r128_s200_eta5e-4": f"{C128} --phi-eta 5e-4 --respacing 200",
     "r256k4_s200_eta1e-4": f"{C256_4K} --respacing 200 --phi-eta 1e-4",
+    # the full-grad comparator inside the mode-ranking check (the last
+    # single-draw number a "survives" verdict rested on)
+    "r256_s50_eta2.5e-4": f"{C256} --respacing 50 --phi-eta 2.5e-4",
 }
 
 
@@ -164,12 +167,15 @@ def summarize(rows):
     # the round-4 single-draw r256_s50_eta2.5e-4 row (+2.52).
     if "r256_s50_x0" in cells and "r256_s50_hyb4" in cells:
         x0, hyb = cells["r256_s50_x0"], cells["r256_s50_hyb4"]
+        fullc = cells.get("r256_s50_eta2.5e-4")
         full = [r for r in rows if r.get("row") == "r256_s50_eta2.5e-4"]
-        full_gain = full[0]["psnr_gain_db"] if full else None
+        full_gain = (fullc["gain_mean"] if fullc else
+                     full[0]["psnr_gain_db"] if full else None)
         checks["mode_ranking_256px_50steps"] = {
             "x0_gain": f"{x0['gain_mean']}±{x0['gain_std']}",
             "hyb4_gain": f"{hyb['gain_mean']}±{hyb['gain_std']}",
-            "full_grad_gain_single_draw": full_gain,
+            "full_grad_gain": (f"{fullc['gain_mean']}±{fullc['gain_std']}"
+                               if fullc else full_gain),
             "x0_beats_hyb4_by_db": round(x0["gain_mean"] - hyb["gain_mean"], 2),
             "survives": bool(
                 x0["gain_mean"] - (x0["gain_std"] or 0)
